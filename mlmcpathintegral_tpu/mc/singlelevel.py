@@ -1,0 +1,125 @@
+"""Single-level Monte-Carlo estimation.
+
+Reference parity: src/montecarlo/montecarlosinglelevel.{hh,cc}.  The host
+drives an adaptive outer loop (recompute the target sample count from the
+running tau_int and variance, montecarlosinglelevel.cc:57-89) around a
+fixed-size jitted chunk that advances *all chains* one draw per step,
+evaluates the QoI and updates the batched statistics in the scan carry.
+
+The reference distributes the target across MPI ranks with ``distribute_n``
+(mpi/mpi_wrapper.hh:125); here it distributes across the chain batch — the
+per-chain target is ceil(n_target / n_chains), and the all-ranks
+``mpi_allreduce_and`` convergence check becomes a trivial host comparison
+because every chain advances in lockstep.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.utils import statistics as stats_mod
+from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+
+class MonteCarloSingleLevel:
+
+    def __init__(self, action, qoi, sampler, *,
+                 n_burnin: int = 100, n_samples: int = 0,
+                 epsilon: float = 1e-2, n_autocorr_window: int = 20,
+                 n_min_samples_qoi: int = 100, chunk_size: int = 256):
+        self.action = action
+        self.qoi = qoi
+        self.sampler = sampler
+        self.n_burnin = int(n_burnin)
+        self.n_samples = int(n_samples)      # 0 => adaptive via epsilon
+        self.epsilon = float(epsilon)
+        self.n_min_samples_qoi = int(n_min_samples_qoi)
+        self.chunk_size = int(chunk_size)
+        self.stats_Q = Statistics("Q", n_autocorr_window)
+        self.elapsed_s = 0.0
+
+        @jax.jit
+        def _chunk(key, sampler_state, stats_state, n_active):
+            """Advance chunk_size draws; record QoI only for the first
+            n_active steps (montecarlosinglelevel.cc:58-77)."""
+            def body(carry, inp):
+                ss, st = carry
+                k, i = inp
+                ss, accept = self.sampler.draw(k, ss)
+                q = self.qoi(ss.x)
+                st = stats_mod.record_masked(st, q, i < n_active)
+                return (ss, st), jnp.sum(accept)
+            keys = jax.random.split(key, self.chunk_size)
+            idx = jnp.arange(self.chunk_size)
+            (ss, st), n_acc = jax.lax.scan(
+                body, (sampler_state, stats_state), (keys, idx))
+            return ss, st, jnp.sum(n_acc)
+
+        self._chunk = _chunk
+
+    # -------------------------------------------------------------------------
+
+    def evaluate(self, key, n_chains: int, dtype=None, verbose: bool = False):
+        """Run burn-in + adaptive sampling; returns (sampler_state,
+        stats_state).  Mirrors MonteCarloSingleLevel::evaluate
+        (montecarlosinglelevel.cc:23-94)."""
+        t0 = time.monotonic()
+        k_prep, k_burn, k_loop = jax.random.split(key, 3)
+        sstate = self.sampler.prepare(k_prep, n_chains, dtype)
+        stats = self.stats_Q.init(n_chains,
+                                  sstate.x.dtype if dtype is None else dtype)
+
+        # burn-in recorded into long-term moments then soft-reset, so tau_int
+        # is learned during warm-up (montecarlosinglelevel.cc:28-38)
+        n_burn_done = 0
+        while n_burn_done < self.n_burnin:
+            n = min(self.chunk_size, self.n_burnin - n_burn_done)
+            k_burn, sub = jax.random.split(k_burn)
+            sstate, stats, _ = self._chunk(sub, sstate, stats, n)
+            n_burn_done += n
+        stats = stats_mod.soft_reset(stats)
+        if verbose:
+            print("Burnin completed")
+
+        two_eps_inv2 = 2.0 / (self.epsilon * self.epsilon)
+        n_accepted = 0
+        n_drawn = 0
+        while True:
+            n_target = self._target(stats, two_eps_inv2)
+            local_target = -(-n_target // n_chains)   # ceil
+            done = self.stats_Q.local_samples(stats)
+            if done >= local_target:
+                break
+            n = min(self.chunk_size, local_target - done)
+            k_loop, sub = jax.random.split(k_loop)
+            sstate, stats, n_acc = self._chunk(sub, sstate, stats, n)
+            n_accepted += int(n_acc)
+            n_drawn += self.chunk_size * n_chains
+        self.p_accept = n_accepted / max(n_drawn, 1)
+        self.elapsed_s = time.monotonic() - t0
+        return sstate, stats
+
+    def _target(self, stats, two_eps_inv2) -> int:
+        if self.n_samples > 0:
+            return self.n_samples
+        tau = self.stats_Q.tau_int(stats)
+        var = self.stats_Q.variance(stats)
+        return max(self.n_min_samples_qoi,
+                   int(math.ceil(tau * two_eps_inv2 * var)))
+
+    # -------------------------------------------------------------------------
+
+    def numerical_result(self, stats) -> float:
+        return self.stats_Q.average(stats)
+
+    def statistical_error(self, stats) -> float:
+        return self.stats_Q.error(stats)
+
+    def show_statistics(self, stats):
+        print(self.stats_Q.summary(stats))
+        print(f" [timer SinglelevelMC] : {self.elapsed_s:.4f} s")

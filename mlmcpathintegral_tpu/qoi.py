@@ -1,0 +1,52 @@
+"""Quantities of interest: pure batched functions x[..., ndof] -> [...].
+
+The reference's QoI class hierarchy + QoIFactory
+(src/qoi/quantityofinterest.hh:16-36) becomes plain function factories that
+bake lattice metadata in as constants.  Each MC method applies the QoI
+inside the jitted sampling loop, fused with the sampler kernel.
+
+Reference parity:
+  * qoi_x_squared        — src/qoi/qm/qoixsquared.cc:3-19
+  * qoi_susceptibility   — src/qoi/qm/qoisusceptibility.cc:3-19
+  * 2-D QoIs (phi^2, avg plaquette, 2-D susceptibility, magnetic
+    susceptibility) live next to their QFT models.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.lattice import Lattice1D
+from mlmcpathintegral_tpu.utils.special import mod_2pi
+
+FOUR_PI2_INV = 1.0 / (4.0 * math.pi * math.pi)
+
+
+def qoi_x_squared(lattice: Lattice1D):
+    """<X^2> estimator: (1/M) sum_j x_j^2 (qoixsquared.cc:3-19)."""
+    def evaluate(x):
+        return jnp.mean(x * x, axis=-1)
+    return evaluate
+
+
+def qoi_susceptibility(lattice: Lattice1D):
+    """Topological susceptibility chi_t = Q[x]^2 / T with winding number
+    Q = (1/2pi) sum_j mod_2pi(x_j - x_{j-1}) (qoisusceptibility.cc:3-19)."""
+    T_final = lattice.T_final
+
+    def evaluate(x):
+        dx = x - jnp.roll(x, 1, axis=-1)
+        Q = jnp.sum(mod_2pi(dx), axis=-1)
+        return FOUR_PI2_INV * Q * Q / T_final
+    return evaluate
+
+
+def make_qoi(name: str, lattice):
+    """Factory by name (the analog of QoIFactory wiring in driver_qm.cc)."""
+    if name == "x_squared":
+        return qoi_x_squared(lattice)
+    if name == "susceptibility":
+        return qoi_susceptibility(lattice)
+    raise ValueError(f"unknown QoI '{name}'")

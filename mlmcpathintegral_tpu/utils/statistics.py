@@ -1,0 +1,184 @@
+"""Batched on-device statistics: mean, variance, autocorrelation, tau_int.
+
+The reference keeps one scalar ``Statistics`` object per quantity and makes
+every getter an MPI collective so N ranks behave like one long chain
+(src/common/statistics.{hh,cc}).  Here the accumulator is *batched over
+chains*: each of the ``n_chains`` independent chains carries its own running
+moments, a ring buffer of its last ``k_max`` samples and running lagged
+products S_k (statistics.cc:4-27).  Getters aggregate across chains exactly
+the way the reference aggregates across ranks (uniform average of per-rank
+accumulators, sum of sample counts; statistics.cc:31-98), so results are
+directly comparable.  When chains are sharded over a device mesh the chain
+axis just becomes a global axis; getters pull the (small) state to host.
+
+Semantics matched to the reference:
+  * record: running avg, long-term moments E[Q..Q^4], windowed
+    S_k = (1/N_k) sum_i Q_i Q_{i-k} with N_k = n_longterm - k
+  * soft reset clears {n, avg} only; long-term moments survive burn-in
+    so tau_int can be learned during warm-up (statistics.hh:128-147)
+  * tau_int = max(1, 1 + 2 sum_{k>=1} (1 - k/N) C_k / C_0) with
+    C_k = <S_k> - <Q>^2 (statistics.cc:82-98)
+  * error(avg) = sqrt(tau_int * Var / N), variance error via 4th moments
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StatsState(NamedTuple):
+    """Pure accumulator pytree; shapes: scalar counters, [C] moments,
+    [C, k_max] window buffers."""
+    n: jnp.ndarray          # per-chain sample count since last (soft) reset
+    avg: jnp.ndarray        # [C] running average since last reset
+    n_lt: jnp.ndarray       # per-chain long-term sample count
+    avg_lt: jnp.ndarray     # [C] long-term running E[Q]
+    avg2_lt: jnp.ndarray    # [C] long-term running E[Q^2]
+    avg3_lt: jnp.ndarray    # [C] long-term running E[Q^3]
+    avg4_lt: jnp.ndarray    # [C] long-term running E[Q^4]
+    ring: jnp.ndarray       # [C, k_max]; ring[:, k] = Q_{t-k}
+    S_k: jnp.ndarray        # [C, k_max] running lagged products
+
+
+def init(n_chains: int, k_max: int, dtype=jnp.float32) -> StatsState:
+    z = jnp.zeros((n_chains,), dtype)
+    zk = jnp.zeros((n_chains, k_max), dtype)
+    c0 = jnp.zeros((), jnp.int32)
+    return StatsState(c0, z, c0, z, z, z, z, zk, zk)
+
+
+def record(state: StatsState, Q: jnp.ndarray) -> StatsState:
+    """Record one new sample per chain. Q: [C]. Pure function, jit/scan safe."""
+    Q = Q.astype(state.avg.dtype)
+    n = state.n + 1
+    n_lt = state.n_lt + 1
+    nf = n.astype(Q.dtype)
+    nltf = n_lt.astype(Q.dtype)
+    avg = ((nf - 1.0) * state.avg + Q) / nf
+    avg_lt = ((nltf - 1.0) * state.avg_lt + Q) / nltf
+    Q2 = Q * Q
+    avg2_lt = ((nltf - 1.0) * state.avg2_lt + Q2) / nltf
+    avg3_lt = ((nltf - 1.0) * state.avg3_lt + Q2 * Q) / nltf
+    avg4_lt = ((nltf - 1.0) * state.avg4_lt + Q2 * Q2) / nltf
+    # shift ring buffer: newest at index 0
+    ring = jnp.concatenate([Q[:, None], state.ring[:, :-1]], axis=1)
+    k_max = state.ring.shape[1]
+    k = jnp.arange(k_max)
+    # N_k = n_lt - k; lag-k product only valid once k samples exist
+    N_k = (nltf - k.astype(Q.dtype))[None, :]
+    valid = (k[None, :] < n_lt).astype(Q.dtype)
+    prod = Q[:, None] * ring
+    S_k_new = ((N_k - 1.0) * state.S_k + prod) / jnp.maximum(N_k, 1.0)
+    S_k = valid * S_k_new + (1.0 - valid) * state.S_k
+    return StatsState(n, avg, n_lt, avg_lt, avg2_lt, avg3_lt, avg4_lt,
+                      ring, S_k)
+
+
+def record_masked(state: StatsState, Q: jnp.ndarray, enabled) -> StatsState:
+    """Record one sample per chain only when ``enabled`` (scalar bool).
+    Used by the MC drivers to hit exact sample targets inside fixed-size
+    jitted chunks."""
+    new = record(state, Q)
+    return jax.tree.map(lambda a, b: jnp.where(enabled, a, b), new, state)
+
+
+def record_many(state: StatsState, Qs: jnp.ndarray) -> StatsState:
+    """Record a [T, C] block of samples via lax.scan."""
+    def body(s, q):
+        return record(s, q), None
+    state, _ = jax.lax.scan(body, state, Qs)
+    return state
+
+
+def soft_reset(state: StatsState) -> StatsState:
+    return state._replace(n=jnp.zeros_like(state.n),
+                          avg=jnp.zeros_like(state.avg))
+
+
+class Statistics:
+    """Host-side view over a StatsState: reference-compatible estimators.
+
+    All getters aggregate over the chain axis (the analog of the reference's
+    allreduce over MPI ranks).
+    """
+
+    def __init__(self, label: str, k_max: int):
+        self.label = label
+        self.k_max = k_max
+
+    def init(self, n_chains: int, dtype=jnp.float32) -> StatsState:
+        return init(n_chains, self.k_max, dtype)
+
+    # -- estimators (host side; state may live on device, pulled once) -----
+
+    @staticmethod
+    def _np(state: StatsState):
+        return jax.tree.map(np.asarray, state)
+
+    def samples(self, state) -> int:
+        s = self._np(state)
+        return int(s.n) * s.avg.shape[0]
+
+    def local_samples(self, state) -> int:
+        return int(np.asarray(state.n))
+
+    def average(self, state) -> float:
+        s = self._np(state)
+        return float(np.mean(s.avg))
+
+    def variance(self, state) -> float:
+        s = self._np(state)
+        avg = np.mean(s.avg_lt)
+        avg2 = np.mean(s.S_k[:, 0])
+        n = int(s.n_lt) * s.avg.shape[0]
+        if n < 2:
+            return 0.0
+        return float(n / (n - 1.0) * (avg2 - avg * avg))
+
+    def variance_error(self, state) -> float:
+        s = self._np(state)
+        a1 = np.mean(s.avg_lt)
+        a2 = np.mean(s.avg2_lt)
+        a3 = np.mean(s.avg3_lt)
+        a4 = np.mean(s.avg4_lt)
+        n = int(s.n_lt) * s.avg.shape[0]
+        if n < 1:
+            return 0.0
+        val = (a4 - 4 * a1 * a3 + 8 * a1 * a1 * a2 - a2 * a2 - 4 * a1**4) / n
+        return float(math.sqrt(max(val, 0.0)))
+
+    def auto_corr(self, state) -> np.ndarray:
+        s = self._np(state)
+        avg = np.mean(s.avg_lt)
+        return np.mean(s.S_k, axis=0) - avg * avg
+
+    def tau_int(self, state) -> float:
+        s = self._np(state)
+        C_k = self.auto_corr(state)
+        n = int(s.n_lt) * s.avg.shape[0]
+        if n < 2 or C_k[0] <= 0.0:
+            return 1.0
+        k = np.arange(1, len(C_k))
+        tau = np.sum((1.0 - k / n) * C_k[1:])
+        return float(max(1.0, 1.0 + 2.0 * tau / C_k[0]))
+
+    def error(self, state) -> float:
+        n = self.samples(state)
+        if n == 0:
+            return float("inf")
+        return float(math.sqrt(self.tau_int(state)
+                               * max(self.variance(state), 0.0) / n))
+
+    def summary(self, state) -> str:
+        return (f" {self.label}: Avg +/- Err = {self.average(state):.6f}"
+                f" +/- {self.error(state):.6f}\n"
+                f" {self.label}: Var +/- Err = {self.variance(state):.6f}"
+                f" +/- {self.variance_error(state):.6f}\n"
+                f" {self.label}: tau_{{int}}   = {self.tau_int(state):.3f}\n"
+                f" {self.label}: window      = {self.k_max}\n"
+                f" {self.label}: # samples   = {self.samples(state)}")
