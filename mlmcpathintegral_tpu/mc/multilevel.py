@@ -1,0 +1,287 @@
+"""Full multilevel Monte Carlo (MLMC) with the telescoping estimator.
+
+Reference parity: src/montecarlo/montecarlomultilevel.{hh,cc}.
+Per level ell < L-1 the estimator measures Y_ell = Q_ell(theta_ell) -
+Q_{ell+1}(theta_{ell+1}) where theta_{ell+1} is a tau-subsampled coarse
+sample and theta_ell comes from one TwoLevelMetropolisStep screening; the
+coarsest level measures Y_{L-1} = Q_{L-1}.  The result is
+sum_ell mean(Y_ell) with error sqrt(sum err_ell^2)
+(montecarlomultilevel.cc:255-271).
+
+Adaptive sample allocation (montecarlomultilevel.cc:147-164):
+  N_ell = ceil( 2/eps^2 * S * sqrt(V_ell / C_ell^eff) * tau_ell ),
+  S = sum_ell sqrt(V_ell * C_ell^eff),
+  C_ell^eff = ceil(tau_ell) * (C_twolevel + t_indep * C_coarse)
+with costs measured by timing the jitted per-level kernels (the analog of
+the reference's 10000-draw constructor timings).
+
+TPU-first: each level owns one fused jitted chunk kernel (subsample ->
+screen -> QoI -> record, batched over chains); the host only runs the
+outer adaptive loop.  Unlike the reference (which aborts for MPI size > 1,
+driver_qm.cc:382-386), every level here is chain-parallel.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.mc.twolevel import make_coarse_subsampler
+from mlmcpathintegral_tpu.mc.twolevelstep import TwoLevelMetropolisStep
+from mlmcpathintegral_tpu.utils import statistics as stats_mod
+from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+
+class MonteCarloMultiLevel:
+
+    def __init__(self, fine_action, qoi_factory, coarse_sampler_factory,
+                 conditioned_fine_action_factory, *,
+                 n_level: int, epsilon: float = 1e-2, n_burnin: int = 100,
+                 n_samples: int = 0, n_autocorr_window: int = 20,
+                 n_min_samples_qoi: int = 100, chunk_size: int = 128):
+        self.n_level = int(n_level)
+        self.epsilon = float(epsilon)
+        self.n_burnin = int(n_burnin)
+        self.n_samples = int(n_samples)   # fixed per-level target if > 0
+        self.n_min_samples_qoi = int(n_min_samples_qoi)
+        self.chunk_size = int(chunk_size)
+
+        # build the action hierarchy + per-level machinery
+        # (montecarlomultilevel.cc:26-68)
+        self.actions = [fine_action]
+        self.twolevel_steps = []
+        self.coarse_samplers = []     # sampler feeding level ell (on ell+1)
+        for ell in range(self.n_level - 1):
+            coarse = self.actions[ell].coarse_action()
+            cond = conditioned_fine_action_factory(self.actions[ell])
+            self.twolevel_steps.append(
+                TwoLevelMetropolisStep(coarse, self.actions[ell], cond))
+            self.actions.append(coarse)
+            self.coarse_samplers.append(coarse_sampler_factory(coarse))
+        # independent sampler instance for the coarsest-level measurements
+        self.coarsest_sampler = coarse_sampler_factory(self.actions[-1])
+        self.qois = [qoi_factory(a) for a in self.actions]
+        self.stats_qoi = [Statistics(f"Y[{ell}]", n_autocorr_window)
+                          for ell in range(self.n_level)]
+        self.stats_cs = [Statistics(f"Q_sampler[{ell}]", n_autocorr_window)
+                         for ell in range(self.n_level - 1)]
+        self._build_kernels()
+
+    # -------------------------------------------------------------------------
+
+    def _build_kernels(self):
+        self._chunk = []
+        for ell in range(self.n_level - 1):
+            draw_coarse = make_coarse_subsampler(self.coarse_samplers[ell],
+                                                 self.qois[ell + 1])
+            step = self.twolevel_steps[ell]
+            qoi_f, qoi_c = self.qois[ell], self.qois[ell + 1]
+
+            def chunk(key, carry, n_active, *, draw_coarse=draw_coarse,
+                      step=step, qoi_f=qoi_f, qoi_c=qoi_c):
+                def body(carry, inp):
+                    cstate, tl, st_y, st_cs, t_accum = carry
+                    k, i = inp
+                    k1, k2 = jax.random.split(k)
+                    cstate, st_cs, t_accum = draw_coarse(k1, cstate, st_cs,
+                                                         t_accum)
+                    xc = draw_coarse.sampler.x_of(cstate)
+                    tl, _ = step.draw(k2, tl, xc)
+                    y = qoi_f(tl.theta) - qoi_c(xc)
+                    st_y = stats_mod.record_masked(st_y, y, i < n_active)
+                    return (cstate, tl, st_y, st_cs, t_accum), None
+                keys = jax.random.split(key, self.chunk_size)
+                idx = jnp.arange(self.chunk_size)
+                carry, _ = jax.lax.scan(body, carry, (keys, idx))
+                return carry
+
+            self._chunk.append(jax.jit(chunk))
+
+        # coarsest level: Y = Q_{L-1} on a tau-subsampled standalone chain
+        draw_coarse = make_coarse_subsampler(self.coarsest_sampler,
+                                             self.qois[-1])
+        qoi_L = self.qois[-1]
+
+        def chunk_L(key, carry, n_active):
+            def body(carry, inp):
+                cstate, st_y, st_cs, t_accum = carry
+                k, i = inp
+                cstate, st_cs, t_accum = draw_coarse(k, cstate, st_cs,
+                                                     t_accum)
+                y = qoi_L(draw_coarse.sampler.x_of(cstate))
+                st_y = stats_mod.record_masked(st_y, y, i < n_active)
+                return (cstate, st_y, st_cs, t_accum), None
+            keys = jax.random.split(key, self.chunk_size)
+            idx = jnp.arange(self.chunk_size)
+            carry, _ = jax.lax.scan(body, carry, (keys, idx))
+            return carry
+
+        self._chunk_L = jax.jit(chunk_L)
+
+    # -------------------------------------------------------------------------
+
+    def evaluate(self, key, n_chains: int, dtype=None, verbose: bool = False):
+        t_start = time.monotonic()
+        L = self.n_level
+        self.n_chains = n_chains
+        keys = jax.random.split(key, 2 * L + 2)
+
+        # initialise per-level carries
+        carries = []
+        rdtype = None
+        for ell in range(L - 1):
+            cstate = self.coarse_samplers[ell].prepare(keys[2 * ell],
+                                                       n_chains, dtype)
+            rdtype = self.coarse_samplers[ell].x_of(cstate).dtype
+            x_fine = self.actions[ell].initialise_state(
+                keys[2 * ell + 1], n_chains, rdtype)
+            tl = self.twolevel_steps[ell].init(x_fine)
+            st_y = self.stats_qoi[ell].init(n_chains, rdtype)
+            st_cs = self.stats_cs[ell].init(n_chains, rdtype)
+            t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
+            carries.append((cstate, tl, st_y, st_cs, t_accum))
+        cstate = self.coarsest_sampler.prepare(keys[2 * L], n_chains, dtype)
+        rdtype = (self.coarsest_sampler.x_of(cstate).dtype
+                  if rdtype is None else rdtype)
+        st_y = self.stats_qoi[L - 1].init(n_chains, rdtype)
+        st_cs_L = Statistics("cs_L", self.stats_cs[0].k_max
+                             if self.stats_cs else 20).init(n_chains, rdtype)
+        t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
+        carry_L = (cstate, st_y, st_cs_L, t_accum)
+
+        key_run = keys[2 * L + 1]
+
+        def run_level(ell, carry, n_more, key_run):
+            """Record n_more further samples on level ell."""
+            done = 0
+            while done < n_more:
+                n = min(self.chunk_size, n_more - done)
+                key_run, sub = jax.random.split(key_run)
+                if ell == L - 1:
+                    carry = self._chunk_L(sub, carry, n)
+                else:
+                    carry = self._chunk[ell](sub, carry, n)
+                done += n
+            return carry, key_run
+
+        # burn-in on every level, coarsest to finest
+        # (montecarlomultilevel.cc:83-100)
+        burn_local = -(-self.n_burnin // n_chains)
+        for ell in range(L - 1, -1, -1):
+            c = carry_L if ell == L - 1 else carries[ell]
+            c, key_run = run_level(ell, c, burn_local, key_run)
+            if ell == L - 1:
+                carry_L = c
+            else:
+                carries[ell] = c
+        # reset Y statistics after burn-in (soft: keep long-term moments for
+        # tau_int, montecarlomultilevel.cc:104-110)
+        carries = [(cs, tl, stats_mod.soft_reset(st_y), st_cs, ta)
+                   for (cs, tl, st_y, st_cs, ta) in carries]
+        carry_L = (carry_L[0], stats_mod.soft_reset(carry_L[1]),
+                   carry_L[2], carry_L[3])
+        if verbose:
+            print("Burnin completed")
+
+        # measure per-sample cost of each level kernel (warm from burn-in)
+        self.cost_per_sample = []
+        for ell in range(L):
+            c = carry_L if ell == L - 1 else carries[ell]
+            jax.block_until_ready(c)
+            t0 = time.monotonic()
+            c, key_run = run_level(ell, c, self.chunk_size, key_run)
+            jax.block_until_ready(c)
+            per = (time.monotonic() - t0) / (self.chunk_size * n_chains)
+            self.cost_per_sample.append(per * 1e6)   # micro-seconds
+            if ell == L - 1:
+                carry_L = c
+            else:
+                carries[ell] = c
+
+        # adaptive loop (montecarlomultilevel.cc:113-169)
+        two_eps_inv2 = 2.0 / (self.epsilon * self.epsilon)
+        n_target = [self.n_min_samples_qoi] * L
+        if self.n_samples > 0:
+            n_target = [self.n_samples] * L
+        while True:
+            sufficient = True
+            for ell in range(L - 1, -1, -1):
+                c = carry_L if ell == L - 1 else carries[ell]
+                st_y = c[1] if ell == L - 1 else c[2]
+                have = self.stats_qoi[ell].samples(st_y)
+                want = n_target[ell]
+                if have < want:
+                    sufficient = False
+                    n_more = -(-(want - have) // n_chains)
+                    c, key_run = run_level(ell, c, n_more, key_run)
+                    if ell == L - 1:
+                        carry_L = c
+                    else:
+                        carries[ell] = c
+            if self.n_samples > 0 and sufficient:
+                break
+            # recompute targets from variances, tau and costs
+            V = [];  tau = [];  C_eff = []
+            for ell in range(L):
+                c = carry_L if ell == L - 1 else carries[ell]
+                st_y = c[1] if ell == L - 1 else c[2]
+                V.append(max(self.stats_qoi[ell].variance(st_y), 0.0))
+                tau.append(self.stats_qoi[ell].tau_int(st_y))
+                C_eff.append(math.ceil(tau[ell]) * self.cost_per_sample[ell])
+            if self.n_samples == 0:
+                S = sum(math.sqrt(v * c) for v, c in zip(V, C_eff))
+                n_target = [
+                    max(self.n_min_samples_qoi,
+                        math.ceil(two_eps_inv2 * S
+                                  * math.sqrt(V[ell] / max(C_eff[ell], 1e-12))
+                                  * tau[ell]))
+                    for ell in range(L)]
+            ok = True
+            for ell in range(L):
+                c = carry_L if ell == L - 1 else carries[ell]
+                st_y = c[1] if ell == L - 1 else c[2]
+                ok = ok and (self.stats_qoi[ell].samples(st_y)
+                             >= n_target[ell])
+            if ok:
+                break
+        self.n_target = n_target
+        self.elapsed_s = time.monotonic() - t_start
+
+        stats = []
+        for ell in range(L):
+            c = carry_L if ell == L - 1 else carries[ell]
+            stats.append(c[1] if ell == L - 1 else c[2])
+        self._final_stats = stats
+        return stats
+
+    # -------------------------------------------------------------------------
+
+    def numerical_result(self, stats=None) -> float:
+        stats = stats if stats is not None else self._final_stats
+        return sum(self.stats_qoi[ell].average(stats[ell])
+                   for ell in range(self.n_level))
+
+    def statistical_error(self, stats=None) -> float:
+        stats = stats if stats is not None else self._final_stats
+        return math.sqrt(sum(self.stats_qoi[ell].error(stats[ell]) ** 2
+                             for ell in range(self.n_level)))
+
+    def show_statistics(self, stats=None):
+        stats = stats if stats is not None else self._final_stats
+        print(f" Q: Avg +/- Err = {self.numerical_result(stats):.6f} "
+              f"+/- {self.statistical_error(stats):.6f}")
+        print(f" [timer MultilevelMC] : {self.elapsed_s:.4f} s")
+
+    def show_detailed_statistics(self, stats=None):
+        stats = stats if stats is not None else self._final_stats
+        print("=== Statistics of QoI ===")
+        for ell in range(self.n_level):
+            print(f"level = {ell}")
+            print(self.stats_qoi[ell].summary(stats[ell]))
+            print(f" target number of samples = {self.n_target[ell]}")
+            print(f" cost per sample          = "
+                  f"{self.cost_per_sample[ell]:.3f} mu s")
+            print("------------------------------------")

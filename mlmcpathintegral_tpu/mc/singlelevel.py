@@ -51,7 +51,7 @@ class MonteCarloSingleLevel:
                 ss, st = carry
                 k, i = inp
                 ss, accept = self.sampler.draw(k, ss)
-                q = self.qoi(ss.x)
+                q = self.qoi(self.sampler.x_of(ss))
                 st = stats_mod.record_masked(st, q, i < n_active)
                 return (ss, st), jnp.sum(accept)
             keys = jax.random.split(key, self.chunk_size)

@@ -1,0 +1,173 @@
+"""Two-level Monte Carlo: mean/variance of Y = Q_fine - Q_coarse.
+
+Reference parity: src/montecarlo/montecarlotwolevel.{hh,cc} — the screening
+diagnostic for the two-level method.  Each sample: subsample the coarse
+sampler until ~2 tau_int draws have elapsed (capped at 100;
+montecarlotwolevel.cc:82-94), then apply one TwoLevelMetropolisStep and
+record Q_fine, Q_coarse and their difference.
+
+TPU-first: the tau-dependent subsampling runs *on device* as a
+``fori_loop`` whose traced trip count comes from the on-device tau_int of
+the coarse-sampler statistics — the whole sampling pass is one jitted scan,
+no host round-trips per sample.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.mc.twolevelstep import TwoLevelMetropolisStep
+from mlmcpathintegral_tpu.utils import statistics as stats_mod
+from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+
+def make_coarse_subsampler(coarse_sampler, qoi_coarse, t_max: int = 100):
+    """Returns a jitted-safe function drawing one ~independent coarse sample:
+    (key, coarse_state, stats_cs, t_accum) -> same, where t_accum
+    accumulates (sum_t, n_indep) for the t_indep estimate."""
+
+    def draw_coarse_sample(key, cstate, stats_cs, t_accum):
+        two_tau = jnp.minimum(
+            float(t_max),
+            jnp.ceil(2.0 * stats_mod.tau_int_device(stats_cs)))
+        t = two_tau.astype(jnp.int32)
+
+        def body(i, carry):
+            cstate, stats_cs, key = carry
+            key, sub = jax.random.split(key)
+            cstate, _ = coarse_sampler.draw(sub, cstate)
+            stats_cs = stats_mod.record(
+                stats_cs, qoi_coarse(coarse_sampler.x_of(cstate)))
+            return (cstate, stats_cs, key)
+
+        cstate, stats_cs, _ = jax.lax.fori_loop(
+            0, t, body, (cstate, stats_cs, key))
+        sum_t, n_indep = t_accum
+        t_accum = (sum_t + t.astype(sum_t.dtype), n_indep + 1.0)
+        return cstate, stats_cs, t_accum
+
+    draw_coarse_sample.sampler = coarse_sampler
+    return draw_coarse_sample
+
+
+class MonteCarloTwoLevel:
+
+    def __init__(self, fine_action, qoi_factory, coarse_sampler_factory,
+                 conditioned_fine_action_factory, *,
+                 n_burnin: int = 100, n_samples: int = 10000,
+                 n_autocorr_window: int = 20,
+                 n_coarse_autocorr_window: int = 20,
+                 n_fine_autocorr_window: int = 20,
+                 n_delta_autocorr_window: int = 20,
+                 chunk_size: int = 256):
+        self.fine_action = fine_action
+        self.coarse_action = fine_action.coarse_action()
+        self.qoi_fine = qoi_factory(fine_action)
+        self.qoi_coarse = qoi_factory(self.coarse_action)
+        self.coarse_sampler = coarse_sampler_factory(self.coarse_action)
+        self.conditioned_fine_action = conditioned_fine_action_factory(
+            fine_action)
+        self.twolevel_step = TwoLevelMetropolisStep(
+            self.coarse_action, fine_action, self.conditioned_fine_action)
+        self.n_burnin = int(n_burnin)
+        self.n_samples = int(n_samples)
+        self.chunk_size = int(chunk_size)
+        self.stats_fine = Statistics("QoI[fine]", n_fine_autocorr_window)
+        self.stats_coarse = Statistics("QoI[coarse]", n_coarse_autocorr_window)
+        self.stats_diff = Statistics("delta QoI", n_delta_autocorr_window)
+        self.stats_cs = Statistics("QoI[coarsesampler]", n_autocorr_window)
+
+        draw_coarse = make_coarse_subsampler(self.coarse_sampler,
+                                             self.qoi_coarse)
+
+        @jax.jit
+        def _chunk(key, carry, n_active):
+            (cstate, tl, st_f, st_c, st_d, st_cs, t_accum) = carry
+
+            def body(carry, inp):
+                cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
+                k, i = inp
+                k1, k2 = jax.random.split(k)
+                cstate, st_cs, t_accum = draw_coarse(k1, cstate, st_cs,
+                                                     t_accum)
+                xc = self.coarse_sampler.x_of(cstate)
+                tl, accept = self.twolevel_step.draw(k2, tl, xc)
+                qf = self.qoi_fine(tl.theta)
+                qc = self.qoi_coarse(xc)
+                en = i < n_active
+                st_f = stats_mod.record_masked(st_f, qf, en)
+                st_c = stats_mod.record_masked(st_c, qc, en)
+                st_d = stats_mod.record_masked(st_d, qf - qc, en)
+                n_acc = jnp.where(en, jnp.sum(accept, dtype=jnp.int32), 0)
+                return (cstate, tl, st_f, st_c, st_d, st_cs, t_accum), n_acc
+
+            keys = jax.random.split(key, self.chunk_size)
+            idx = jnp.arange(self.chunk_size)
+            carry, acc = jax.lax.scan(
+                body, (cstate, tl, st_f, st_c, st_d, st_cs, t_accum),
+                (keys, idx))
+            return carry, jnp.sum(acc)
+
+        self._chunk = _chunk
+
+    def evaluate_difference(self, key, n_chains: int, dtype=None,
+                            verbose: bool = False):
+        """Burn-in then record n_samples of (Q_f, Q_c, Y); returns the stats
+        states dict (montecarlotwolevel.cc:38-79)."""
+        t0 = time.monotonic()
+        k_prep, k_run = jax.random.split(key)
+        cstate = self.coarse_sampler.prepare(k_prep, n_chains, dtype)
+        rdtype = self.coarse_sampler.x_of(cstate).dtype
+        x_fine = self.fine_action.initialise_state(k_prep, n_chains, rdtype)
+        tl = self.twolevel_step.init(x_fine)
+        st_f = self.stats_fine.init(n_chains, rdtype)
+        st_c = self.stats_coarse.init(n_chains, rdtype)
+        st_d = self.stats_diff.init(n_chains, rdtype)
+        st_cs = self.stats_cs.init(n_chains, rdtype)
+        t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
+        carry = (cstate, tl, st_f, st_c, st_d, st_cs, t_accum)
+
+        n_accepted = 0
+        n_done = 0
+        # burn-in phase: discard into the masked region (n_active=chunk);
+        # afterwards hard-reset the Y statistics (montecarlotwolevel.cc:66-69)
+        n_burn = 0
+        while n_burn < self.n_burnin:
+            n = min(self.chunk_size, self.n_burnin - n_burn)
+            k_run, sub = jax.random.split(k_run)
+            carry, _ = self._chunk(sub, carry, n)
+            n_burn += n
+        cstate, tl, _, _, _, st_cs, t_accum = carry
+        st_f = self.stats_fine.init(n_chains, rdtype)
+        st_c = self.stats_coarse.init(n_chains, rdtype)
+        st_d = self.stats_diff.init(n_chains, rdtype)
+        carry = (cstate, tl, st_f, st_c, st_d, st_cs, t_accum)
+        if verbose:
+            print("Burnin completed")
+
+        local_target = -(-self.n_samples // n_chains)
+        while n_done < local_target:
+            n = min(self.chunk_size, local_target - n_done)
+            k_run, sub = jax.random.split(k_run)
+            carry, n_acc = self._chunk(sub, carry, n)
+            n_accepted += int(n_acc)
+            n_done += n
+        self.elapsed_s = time.monotonic() - t0
+        cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
+        self.p_accept = n_accepted / (n_done * n_chains)
+        sum_t, n_indep = t_accum
+        self.t_indep = float(sum_t) / max(float(n_indep), 1.0)
+        return {"fine": st_f, "coarse": st_c, "diff": st_d,
+                "coarse_sampler": st_cs}
+
+    def show_statistics(self, stats):
+        print(self.stats_fine.summary(stats["fine"]))
+        print(self.stats_coarse.summary(stats["coarse"]))
+        print(self.stats_diff.summary(stats["diff"]))
+        print("=== Coarse level sampler statistics ===")
+        print(self.stats_cs.summary(stats["coarse_sampler"]))
+        print(f" subsampling t_indep = {self.t_indep:.3f}")
+        print(f" two-level acceptance = {self.p_accept:.4f}")

@@ -24,6 +24,12 @@ from mlmcpathintegral_tpu.utils.special import mod_2pi
 FOUR_PI2_INV = 1.0 / (4.0 * math.pi * math.pi)
 
 
+def _lattice_of(obj):
+    """Accept either a lattice or an action (the reference's QoIFactory
+    takes actions, quantityofinterest.hh:26-36)."""
+    return getattr(obj, "lattice", obj)
+
+
 def qoi_x_squared(lattice: Lattice1D):
     """<X^2> estimator: (1/M) sum_j x_j^2 (qoixsquared.cc:3-19)."""
     def evaluate(x):
@@ -34,7 +40,7 @@ def qoi_x_squared(lattice: Lattice1D):
 def qoi_susceptibility(lattice: Lattice1D):
     """Topological susceptibility chi_t = Q[x]^2 / T with winding number
     Q = (1/2pi) sum_j mod_2pi(x_j - x_{j-1}) (qoisusceptibility.cc:3-19)."""
-    T_final = lattice.T_final
+    T_final = _lattice_of(lattice).T_final
 
     def evaluate(x):
         dx = x - jnp.roll(x, 1, axis=-1)

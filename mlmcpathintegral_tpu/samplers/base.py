@@ -40,6 +40,10 @@ class Sampler(abc.ABC):
         cached action values must override to refresh their caches."""
         return state._replace(x=x)
 
+    def x_of(self, state):
+        """Current position [n_chains, ndof] of a sampler state."""
+        return state.x
+
     def prepare(self, key, n_chains: int, dtype=None, n_burnin: int = 0):
         """Initialise + burn in (the work the reference does in sampler
         constructors, e.g. hmcsampler.hh:95-109)."""

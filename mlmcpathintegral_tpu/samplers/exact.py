@@ -1,0 +1,40 @@
+"""Exact sampler wrapper for actions that can draw independent samples.
+
+Reference parity: HarmonicOscillatorAction and GFFAction double as Samplers
+(harmonicoscillatoraction.hh:264-276, gffaction.hh:356-375), selected with
+``sampler = 'exact'``.  Here any action exposing
+``exact_draw(key, n_chains, dtype)`` qualifies.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.samplers.base import Sampler, default_dtype
+
+
+class ExactState(NamedTuple):
+    x: jnp.ndarray
+
+
+class ExactSampler(Sampler):
+
+    def __init__(self, action):
+        super().__init__(action)
+        if not hasattr(action, "exact_draw"):
+            raise ValueError(
+                f"action {action.info_string()} has no exact sampler")
+
+    def init(self, key, n_chains, dtype=None):
+        dtype = dtype or default_dtype()
+        return ExactState(x=self.action.exact_draw(key, n_chains, dtype))
+
+    def draw(self, key, state: ExactState):
+        x = self.action.exact_draw(key, state.x.shape[0], state.x.dtype)
+        accept = jnp.ones(x.shape[:-1], bool)
+        return ExactState(x=x), accept
+
+    def prepare(self, key, n_chains, dtype=None):
+        return self.init(key, n_chains, dtype)

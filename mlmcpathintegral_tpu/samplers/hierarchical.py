@@ -1,0 +1,110 @@
+"""Hierarchical (delayed-acceptance) sampler.
+
+Reference parity: src/sampler/hierarchicalsampler.{hh,cc} — the paper's key
+autocorrelation-reduction device.  A draw restricts the current fine state
+down the level hierarchy, redraws the coarsest level with a standalone
+sampler, then walks back up applying a TwoLevelMetropolisStep per level;
+the overall acceptance is the AND of all level acceptances and the
+reference aborts on the first rejection (hierarchicalsampler.cc:55-81).
+
+TPU-first: the level loop is unrolled at trace time (n_level is static);
+"abort on first rejection" becomes per-chain masking — every chain runs all
+levels in lockstep but a chain's state only advances while its running
+accept flag is still true.  The whole draw is one fused XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.mc.twolevelstep import TwoLevelMetropolisStep
+from mlmcpathintegral_tpu.samplers.base import Sampler, default_dtype
+
+
+class HierarchicalState(NamedTuple):
+    xs: tuple               # per-level states, xs[ell]: [C, M_ell]
+    coarse: Any             # coarse-sampler state pytree
+
+
+class HierarchicalSampler(Sampler):
+
+    def __init__(self, fine_action, coarse_sampler_factory,
+                 conditioned_fine_action_factory, n_max_level: int):
+        """``coarse_sampler_factory(action) -> Sampler`` builds the
+        coarsest-level sampler; ``conditioned_fine_action_factory(action) ->
+        ConditionedFineAction`` builds the per-level fill-in
+        (hierarchicalsampler.cc:8-52)."""
+        super().__init__(fine_action)
+        self.n_level = n_max_level - fine_action.lattice.coarsening_level
+        if self.n_level < 2:
+            raise ValueError(f"need >= 2 levels, got {self.n_level}")
+        self.actions = [fine_action]
+        self.twolevel_steps = []
+        for ell in range(self.n_level - 1):
+            coarse = self.actions[ell].coarse_action()
+            cond = conditioned_fine_action_factory(self.actions[ell])
+            self.twolevel_steps.append(
+                TwoLevelMetropolisStep(coarse, self.actions[ell], cond))
+            self.actions.append(coarse)
+        self.coarse_sampler = coarse_sampler_factory(self.actions[-1])
+
+    # -- state -----------------------------------------------------------------
+
+    def init(self, key, n_chains, dtype=None):
+        dtype = dtype or default_dtype()
+        k_x, k_c = jax.random.split(key)
+        xs = [self.action.initialise_state(k_x, n_chains, dtype)]
+        for ell in range(1, self.n_level):
+            xs.append(self.actions[ell - 1].restrict(xs[ell - 1]))
+        coarse = self.coarse_sampler.init(k_c, n_chains, dtype)
+        return HierarchicalState(xs=tuple(xs), coarse=coarse)
+
+    def prepare(self, key, n_chains, dtype=None):
+        """Prepare the coarsest-level sampler (burn-in/autotune, the work its
+        factory-built ctor does in the reference) and seed the hierarchy."""
+        dtype = dtype or default_dtype()
+        k_x, k_c = jax.random.split(key)
+        coarse = self.coarse_sampler.prepare(k_c, n_chains, dtype)
+        xs = [self.action.initialise_state(k_x, n_chains, dtype)]
+        for ell in range(1, self.n_level):
+            xs.append(self.actions[ell - 1].restrict(xs[ell - 1]))
+        return HierarchicalState(xs=tuple(xs), coarse=coarse)
+
+    def set_state(self, state, x):
+        xs = (x,) + tuple(state.xs[1:])
+        return state._replace(xs=xs)
+
+    def x_of(self, state):
+        return state.xs[0]
+
+    # -- draw (hierarchicalsampler.cc:55-81) -----------------------------------
+
+    def draw(self, key, state: HierarchicalState):
+        L = self.n_level
+        xs = list(state.xs)
+        # restrict current fine state down the hierarchy
+        for ell in range(1, L):
+            xs[ell] = self.actions[ell - 1].restrict(xs[ell - 1])
+
+        keys = jax.random.split(key, L)
+        # coarsest level: standalone sampler move
+        cs = self.coarse_sampler.set_state(state.coarse, xs[L - 1])
+        cs, accept_all = self.coarse_sampler.draw(keys[L - 1], cs)
+        xs[L - 1] = self._x_of(cs)
+
+        # walk back up; per-chain early exit via masking
+        for ell in range(L - 2, -1, -1):
+            step = self.twolevel_steps[ell]
+            tl = step.init(xs[ell])
+            tl, acc = step.draw(keys[ell], tl, xs[ell + 1])
+            xs[ell] = jnp.where(accept_all[..., None], tl.theta, xs[ell])
+            accept_all = jnp.logical_and(accept_all, acc)
+
+        return HierarchicalState(xs=tuple(xs), coarse=cs), accept_all
+
+    @staticmethod
+    def _x_of(sampler_state):
+        return sampler_state.x

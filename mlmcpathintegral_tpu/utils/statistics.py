@@ -95,6 +95,30 @@ def record_many(state: StatsState, Qs: jnp.ndarray) -> StatsState:
     return state
 
 
+def tau_int_device(state: StatsState) -> jnp.ndarray:
+    """Integrated autocorrelation time as a traced scalar (aggregated over
+    the chain axis exactly like the host-side getter).  Enables fully
+    on-device adaptive logic (e.g. the tau-based coarse subsampling loops of
+    the two-level/multilevel methods, montecarlotwolevel.cc:82-94)."""
+    avg = jnp.mean(state.avg_lt)
+    C_k = jnp.mean(state.S_k, axis=0) - avg * avg
+    n = (state.n_lt * state.ring.shape[0]).astype(C_k.dtype)
+    k = jnp.arange(1, C_k.shape[0], dtype=C_k.dtype)
+    tau = jnp.sum((1.0 - k / jnp.maximum(n, 1.0)) * C_k[1:])
+    good = jnp.logical_and(state.n_lt >= 2, C_k[0] > 0.0)
+    return jnp.where(good, jnp.maximum(1.0, 1.0 + 2.0 * tau
+                                       / jnp.where(good, C_k[0], 1.0)), 1.0)
+
+
+def variance_device(state: StatsState) -> jnp.ndarray:
+    """Cross-chain sample variance as a traced scalar (statistics.cc:30-35)."""
+    avg = jnp.mean(state.avg_lt)
+    avg2 = jnp.mean(state.S_k[:, 0])
+    n = (state.n_lt * state.ring.shape[0]).astype(avg.dtype)
+    return jnp.where(state.n_lt >= 2,
+                     n / jnp.maximum(n - 1.0, 1.0) * (avg2 - avg * avg), 0.0)
+
+
 def soft_reset(state: StatsState) -> StatsState:
     return state._replace(n=jnp.zeros_like(state.n),
                           avg=jnp.zeros_like(state.avg))
