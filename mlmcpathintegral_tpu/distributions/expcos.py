@@ -1,0 +1,72 @@
+"""ExpCos distribution: p(x | x_p, x_m) = Z^-1 exp[beta(cos(x-x_p) +
+cos(x-x_m))] on [-pi, pi), Z = 2 pi I0(2 beta |cos((x_p-x_m)/2)|).
+
+Reference parity: src/distribution/expcosdistribution.{hh,cc}.  Used for
+the quenched-Schwinger link heat bath (quenchedschwingeraction.cc:46-55)
+and the semi-coarsened fill-in.
+
+The identity cos(x-x_p)+cos(x-x_m) = 2 cos(dx/2) cos(x - (x_p+x_m)/2)
+reduces sampling to a centred ExpCos with tau = 2 beta |cos(dx/2)|,
+sampled by Gaussian-envelope rejection and shifted back
+(expcosdistribution.hh:50-66).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.distributions.rejection import batched_rejection_sample
+from mlmcpathintegral_tpu.utils.special import fast_i0_scaled, mod_2pi
+
+TWO_PI = 2.0 * math.pi
+FOURPI2_INV = 1.0 / (4.0 * math.pi * math.pi)
+
+
+class ExpCosDistribution:
+    """Batched draw/evaluate; ``beta`` scalar, ``x_p``/``x_m`` arrays."""
+
+    @staticmethod
+    def draw(key, beta, x_p, x_m, dtype=None):
+        x_p = jnp.asarray(x_p)
+        x_m = jnp.broadcast_to(jnp.asarray(x_m), x_p.shape)
+        x_p = jnp.broadcast_to(x_p, x_m.shape)
+        shape = x_p.shape
+        if dtype is None:
+            dtype = x_p.dtype
+        pi = jnp.asarray(math.pi, dtype)
+        dx = (x_m - x_p).astype(dtype)
+        tau = 2.0 * beta * jnp.abs(jnp.cos(0.5 * dx))
+        sigma = pi * jnp.sqrt(2.0 / tau)
+
+        def propose_accept(k):
+            kn, ku = jax.random.split(k)
+            x = sigma * jax.random.normal(kn, shape, dtype)
+            u = jax.random.uniform(ku, shape, dtype)
+            log_ratio = tau * (jnp.cos(x) - 1.0 + FOURPI2_INV * x * x)
+            ok = jnp.logical_and(
+                jnp.logical_and(-pi <= x, x < pi),
+                jnp.log(u) <= log_ratio)
+            return x, ok
+
+        x = batched_rejection_sample(key, propose_accept, shape, dtype)
+        shift = 0.5 * (x_p + x_m) + jnp.where(jnp.abs(dx) > pi, pi, 0.0)
+        return mod_2pi(x + shift)
+
+    @staticmethod
+    def log_evaluate(x, beta, x_p, x_m):
+        """log p(x | x_p, x_m), stable for large beta.
+
+        Direct form: log p = beta[cos(x-x_p)+cos(x-x_m)] - log Z with
+        log Z = log(2 pi I0e(sigma)) + sigma, sigma = 2 beta |cos(dx/2)|
+        (equivalent to the transformed form in expcosdistribution.cc:7-27)."""
+        sigma = 2.0 * beta * jnp.abs(jnp.cos(0.5 * (x_p - x_m)))
+        s = beta * (jnp.cos(x - x_p) + jnp.cos(x - x_m))
+        log_Z = math.log(TWO_PI) + jnp.log(fast_i0_scaled(sigma)) + sigma
+        return s - log_Z
+
+    @staticmethod
+    def evaluate(x, beta, x_p, x_m):
+        return jnp.exp(ExpCosDistribution.log_evaluate(x, beta, x_p, x_m))

@@ -49,10 +49,42 @@ def qoi_susceptibility(lattice: Lattice1D):
     return evaluate
 
 
-def make_qoi(name: str, lattice):
-    """Factory by name (the analog of QoIFactory wiring in driver_qm.cc)."""
+def qoi_2d_susceptibility(action):
+    """V chi_t = Q^2/(4 pi^2), Q = sum_P mod_2pi(theta_P) over plaquettes
+    of a gauge action (qoi2dsusceptibility.cc:6-28)."""
+    def evaluate(theta):
+        plaq = action.plaquette_angles(theta)
+        Q = jnp.sum(mod_2pi(plaq), axis=(-2, -1))
+        return FOUR_PI2_INV * Q * Q
+    return evaluate
+
+
+def qoi_avg_plaquette(action):
+    """(1/(Mt Mx)) sum_P cos(theta_P) (qoiavgplaquette.cc:6-27)."""
+    def evaluate(theta):
+        return jnp.mean(jnp.cos(action.plaquette_angles(theta)),
+                        axis=(-2, -1))
+    return evaluate
+
+
+def qoi_2d_phi_squared(action_or_lattice):
+    """(1/M) sum phi^2 for scalar 2-D fields (qoi2dphisquared.cc:3-11)."""
+    def evaluate(phi):
+        return jnp.mean(phi * phi, axis=-1)
+    return evaluate
+
+
+def make_qoi(name: str, obj):
+    """Factory by name (the analog of QoIFactory wiring in driver_qm.cc /
+    driver_qft.cc)."""
     if name == "x_squared":
-        return qoi_x_squared(lattice)
+        return qoi_x_squared(obj)
     if name == "susceptibility":
-        return qoi_susceptibility(lattice)
+        return qoi_susceptibility(obj)
+    if name == "2d_susceptibility":
+        return qoi_2d_susceptibility(obj)
+    if name == "avg_plaquette":
+        return qoi_avg_plaquette(obj)
+    if name == "2d_phi_squared":
+        return qoi_2d_phi_squared(obj)
     raise ValueError(f"unknown QoI '{name}'")

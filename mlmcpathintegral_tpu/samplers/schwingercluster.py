@@ -1,0 +1,105 @@
+"""Exact cluster sampler for the quenched Schwinger model.
+
+Reference parity: src/sampler/quenchedschwingerclustersampler.{hh,cc}.
+Exploits the equivalence plaquettes <-> 1-D rotor increments: the joint
+distribution of the Mt*Mx plaquette angles equals that of the increments of
+a topological rotor with M = Mt*Mx sites and I = beta * a (a = 1/M).  A
+1-D Wolff cluster sampler generates the rotor path; links are reconstructed
+in a fixed gauge (integrate the increments into vertical links column-wise,
+close the last row horizontally) and a random gauge transformation restores
+gauge invariance (quenchedschwingerclustersampler.cc:40-86).
+
+TPU-first: the sequential link integrations become cumulative sums over the
+grid; the gauge transformation is a roll stencil.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mlmcpathintegral_tpu.lattice import Lattice1D
+from mlmcpathintegral_tpu.models.base import RenormalisationType
+from mlmcpathintegral_tpu.models.rotor import RotorAction
+from mlmcpathintegral_tpu.samplers.base import Sampler, default_dtype
+from mlmcpathintegral_tpu.samplers.cluster import ClusterSampler, ClusterState
+from mlmcpathintegral_tpu.utils.special import mod_2pi
+
+
+class SchwingerClusterState(NamedTuple):
+    x: jnp.ndarray            # [C, 2*Mt*Mx] current link state
+    psi: jnp.ndarray          # [C, Mt*Mx] rotor path
+
+
+class QuenchedSchwingerClusterSampler(Sampler):
+
+    def __init__(self, action, n_burnin: int = 100, n_updates: int = 10):
+        super().__init__(action)
+        lat = action.lattice
+        M = lat.Mt_lat * lat.Mx_lat
+        lattice1d = Lattice1D(M, 1.0)
+        self.rotor_action = RotorAction(lattice1d, RenormalisationType.NONE,
+                                        m0=action.beta * lattice1d.a_lat)
+        self.cluster = ClusterSampler(self.rotor_action, n_burnin=n_burnin,
+                                      n_updates=n_updates)
+
+    def init(self, key, n_chains, dtype=None):
+        dtype = dtype or default_dtype()
+        k1, k2 = jax.random.split(key)
+        psi = self.rotor_action.initialise_state(k1, n_chains, dtype)
+        x = self._reconstruct(k2, psi)
+        return SchwingerClusterState(x=x, psi=psi)
+
+    def prepare(self, key, n_chains, dtype=None):
+        k1, k2 = jax.random.split(key)
+        state = self.init(k1, n_chains, dtype)
+        cs = self.cluster.prepare(k2, n_chains, dtype)
+        return state._replace(psi=cs.x)
+
+    def draw(self, key, state: SchwingerClusterState):
+        k1, k2 = jax.random.split(key)
+        cs, _ = self.cluster.draw(k1, ClusterState(x=state.psi))
+        psi = cs.x
+        x = self._reconstruct(k2, psi)
+        accept = jnp.ones(x.shape[:-1], bool)
+        return SchwingerClusterState(x=x, psi=psi), accept
+
+    # -- link reconstruction (quenchedschwingerclustersampler.cc:40-86) --------
+
+    def _reconstruct(self, key, psi):
+        lat = self.action.lattice
+        Mt, Mx = lat.Mt_lat, lat.Mx_lat
+        C = psi.shape[0]
+        dtype = psi.dtype
+        # increments d[l] = psi[l+1] - psi[l] on the linear index
+        # l = i * Mx + j (i = temporal row of the walk)
+        d = jnp.roll(psi, -1, axis=-1) - psi     # [C, Mt*Mx]
+        dg = d.reshape(C, Mt, Mx)                # [C, i, j]
+
+        # vertical links: X(i, j) = sum_{k < i} d[k, j], X(0, j) = 0
+        X_it = jnp.cumsum(dg, axis=-2)           # partial sums over i
+        X_it = jnp.concatenate(
+            [jnp.zeros((C, 1, Mx), dtype), X_it[:, :-1, :]], axis=-2)
+        # X_it[i, j] with i the temporal index; grid layout is [j, i]
+        X = jnp.swapaxes(X_it, -1, -2)           # [C, Mx, Mt] = [j, i]
+
+        # horizontal links: all zero except the last temporal row i = Mt-1:
+        # T(Mt-1, j+1) = T(Mt-1, j) - X(Mt-1, j) - d[(Mt-1)*Mx + j]
+        inc = -(X_it[:, Mt - 1, :] + dg[:, Mt - 1, :])      # [C, Mx] over j
+        T_last = jnp.cumsum(inc, axis=-1)
+        T_last = jnp.concatenate(
+            [jnp.zeros((C, 1), dtype), T_last[:, :-1]], axis=-1)  # T(.,0)=0
+        T = jnp.zeros((C, Mx, Mt), dtype)
+        T = T.at[:, :, Mt - 1].set(T_last)
+
+        # random gauge transformation: theta(i, j) per site;
+        # T(i,j) += theta(i,j) - theta(i+1,j); X(i,j) += theta(i,j) - theta(i,j+1)
+        th = jax.random.uniform(key, (C, Mx, Mt), dtype, -math.pi, math.pi)
+        T = mod_2pi(T + th - jnp.roll(th, -1, axis=-1))
+        X = mod_2pi(X + th - jnp.roll(th, -1, axis=-2))
+
+        g = jnp.stack([T, X], axis=-1)           # [C, Mx, Mt, 2]
+        return g.reshape(C, 2 * Mt * Mx)
