@@ -42,7 +42,11 @@ class OverrelaxedHeatBathSampler(Sampler):
     def __init__(self, action, n_sweep_heatbath: int = 1,
                  n_sweep_overrelax: int = 1, n_burnin: int = 100):
         super().__init__(action)
-        if action.lattice.M_lat % 2:
+        #: actions providing whole-lattice coloured sweeps (2-D QFT models)
+        #: are used directly; otherwise the generic 1-D even/odd site sweep
+        #: drives the action's heatbath_site/overrelax_site
+        self._action_sweeps = hasattr(action, "heatbath_sweep")
+        if not self._action_sweeps and action.lattice.M_lat % 2:
             raise ValueError("checkerboard sweep needs even M_lat")
         self.n_sweep_heatbath = int(n_sweep_heatbath)
         self.n_sweep_overrelax = int(n_sweep_overrelax)
@@ -73,13 +77,20 @@ class OverrelaxedHeatBathSampler(Sampler):
 
     def draw(self, key, state: HeatBathState):
         x = state.x
-        for _ in range(self.n_sweep_overrelax):
-            x = self._half_sweep_overrelax(x, 0)
-            x = self._half_sweep_overrelax(x, 1)
-        for s in range(self.n_sweep_heatbath):
-            k0, k1, key = jax.random.split(key, 3)
-            x = self._half_sweep_heatbath(k0, x, 0)
-            x = self._half_sweep_heatbath(k1, x, 1)
+        if self._action_sweeps:
+            for _ in range(self.n_sweep_overrelax):
+                x = self.action.overrelaxation_sweep(x)
+            for _ in range(self.n_sweep_heatbath):
+                key, sub = jax.random.split(key)
+                x = self.action.heatbath_sweep(sub, x)
+        else:
+            for _ in range(self.n_sweep_overrelax):
+                x = self._half_sweep_overrelax(x, 0)
+                x = self._half_sweep_overrelax(x, 1)
+            for _ in range(self.n_sweep_heatbath):
+                k0, k1, key = jax.random.split(key, 3)
+                x = self._half_sweep_heatbath(k0, x, 0)
+                x = self._half_sweep_heatbath(k1, x, 1)
         accept = jnp.ones(x.shape[:-1], bool)   # heat bath always accepts
         return HeatBathState(x=x), accept
 
