@@ -163,6 +163,69 @@ class QuenchedSchwingerConditionedFineAction(ConditionedFineAction):
         return S
 
 
+class QuenchedSchwingerGaussianConditionedFineAction(ConditionedFineAction):
+    """Gaussian-approximation variant: all four interior links of each
+    coarse cell drawn at once from the 4-D GaussianFillinDistribution
+    (cc:81-133, 293-326)."""
+
+    def __init__(self, action):
+        super().__init__(action)
+        from mlmcpathintegral_tpu.distributions.gaussianfillin import (
+            GaussianFillinDistribution,
+        )
+        self.beta = action.beta
+        self.gaussian = GaussianFillinDistribution(self.beta,
+                                                   add_gaussian_noise=True)
+
+    def _cell_phis(self, T, X):
+        phi_12 = mod_2pi(_cell(X, 0, 1) + _cell(T, 0, 2))
+        phi_23 = mod_2pi(_cell(T, 1, 2) - _cell(X, 2, 1))
+        phi_34 = mod_2pi(-_cell(X, 2, 0) - _cell(T, 1, 0))
+        phi_41 = mod_2pi(-_cell(T, 0, 0) + _cell(X, 0, 0))
+        return phi_12, phi_23, phi_34, phi_41
+
+    def fill_fine_points(self, key, theta):
+        act = self.action
+        lat = act.lattice
+        Mt, Mx = lat.Mt_lat, lat.Mx_lat
+        k1, k2, k3 = jax.random.split(key, 3)
+        g = act._grid(theta)
+        T, X = g[..., 0], g[..., 1]
+        cshape = (*T.shape[:-2], Mx // 2, Mt // 2)
+        dtype = T.dtype
+
+        # STEP 1: perimeter randomisation (identical to the exact variant)
+        u_t = jax.random.uniform(k1, cshape, dtype, -PI, PI)
+        u_x = jax.random.uniform(k2, cshape, dtype, -PI, PI)
+        T = T.at[..., ::2, ::2].set(mod_2pi(T[..., ::2, ::2] + u_t))
+        T = T.at[..., ::2, 1::2].set(mod_2pi(T[..., ::2, 1::2] - u_t))
+        X = X.at[..., ::2, ::2].set(mod_2pi(X[..., ::2, ::2] + u_x))
+        X = X.at[..., 1::2, ::2].set(mod_2pi(X[..., 1::2, ::2] - u_x))
+
+        # STEP 2+3: joint interior fill from the 4-D Gaussian approximation
+        phi_12, phi_23, phi_34, phi_41 = self._cell_phis(T, X)
+        th1, th2, th3, th4 = self.gaussian.draw(k3, phi_12, phi_23,
+                                                phi_34, phi_41)
+        T = T.at[..., 1::2, ::2].set(th1)        # T(2i, 2j+1)   = +theta_1
+        X = X.at[..., 1::2, 1::2].set(-th2)      # X(2i+1, 2j+1) = -theta_2
+        T = T.at[..., 1::2, 1::2].set(-th3)      # T(2i+1, 2j+1) = -theta_3
+        X = X.at[..., ::2, 1::2].set(th4)        # X(2i+1, 2j)   = +theta_4
+        return act._flat(jnp.stack([T, X], axis=-1))
+
+    def evaluate(self, theta):
+        act = self.action
+        g = act._grid(theta)
+        T, X = g[..., 0], g[..., 1]
+        phi_12, phi_23, phi_34, phi_41 = self._cell_phis(T, X)
+        th1 = mod_2pi(_cell(T, 0, 1))
+        th2 = mod_2pi(-_cell(X, 1, 1))
+        th3 = mod_2pi(-_cell(T, 1, 1))
+        th4 = mod_2pi(_cell(X, 1, 0))
+        return -jnp.sum(self.gaussian.log_evaluate(
+            th1, th2, th3, th4, phi_12, phi_23, phi_34, phi_41),
+            axis=(-2, -1))
+
+
 class QuenchedSchwingerSemiConditionedFineAction(ConditionedFineAction):
     """Fill-in for temporal- or spatial-only coarsening (cc:136-209)."""
 

@@ -136,8 +136,15 @@ class MonteCarloMultiLevel:
             cstate = self.coarse_samplers[ell].prepare(keys[2 * ell],
                                                        n_chains, dtype)
             rdtype = self.coarse_samplers[ell].x_of(cstate).dtype
+            # start the screened chain from prolongate + fill of the initial
+            # coarse sample (a draw from q — see mc/twolevel.py)
             x_fine = self.actions[ell].initialise_state(
                 keys[2 * ell + 1], n_chains, rdtype)
+            x_fine = self.actions[ell].prolongate(
+                self.coarse_samplers[ell].x_of(cstate), x_fine)
+            x_fine = self.twolevel_steps[ell] \
+                .conditioned_fine_action.fill_fine_points(
+                    jax.random.fold_in(keys[2 * ell + 1], 1), x_fine)
             tl = self.twolevel_steps[ell].init(x_fine)
             st_y = self.stats_qoi[ell].init(n_chains, rdtype)
             st_cs = self.stats_cs[ell].init(n_chains, rdtype)

@@ -121,7 +121,17 @@ class MonteCarloTwoLevel:
         k_prep, k_run = jax.random.split(key)
         cstate = self.coarse_sampler.prepare(k_prep, n_chains, dtype)
         rdtype = self.coarse_sampler.x_of(cstate).dtype
+        # initialise the fine chain from prolongate + fill of the initial
+        # coarse sample: a draw from the proposal q itself, so the screened
+        # chain never starts in q's tail (where the delayed-acceptance
+        # ratio's q(theta_cur) factor would freeze it — relevant for
+        # sharply-peaked fill-ins like the Gaussian Schwinger variant)
+        k_prep2 = jax.random.fold_in(k_prep, 1)
         x_fine = self.fine_action.initialise_state(k_prep, n_chains, rdtype)
+        x_fine = self.fine_action.prolongate(
+            self.coarse_sampler.x_of(cstate), x_fine)
+        x_fine = self.conditioned_fine_action.fill_fine_points(k_prep2,
+                                                               x_fine)
         tl = self.twolevel_step.init(x_fine)
         st_f = self.stats_fine.init(n_chains, rdtype)
         st_c = self.stats_coarse.init(n_chains, rdtype)

@@ -64,13 +64,22 @@ class HierarchicalSampler(Sampler):
 
     def prepare(self, key, n_chains, dtype=None):
         """Prepare the coarsest-level sampler (burn-in/autotune, the work its
-        factory-built ctor does in the reference) and seed the hierarchy."""
+        factory-built ctor does in the reference) and seed the hierarchy by
+        an upward prolongate+fill pass from the burned-in coarsest state —
+        so the fine chains start inside the proposal distribution."""
         dtype = dtype or default_dtype()
         k_x, k_c = jax.random.split(key)
         coarse = self.coarse_sampler.prepare(k_c, n_chains, dtype)
-        xs = [self.action.initialise_state(k_x, n_chains, dtype)]
-        for ell in range(1, self.n_level):
-            xs.append(self.actions[ell - 1].restrict(xs[ell - 1]))
+        L = self.n_level
+        xs = [None] * L
+        xs[L - 1] = self.coarse_sampler.x_of(coarse)
+        for ell in range(L - 2, -1, -1):
+            k_x, sub = jax.random.split(k_x)
+            x = self.actions[ell].initialise_state(sub, n_chains, dtype)
+            x = self.actions[ell].prolongate(xs[ell + 1], x)
+            cond = self.twolevel_steps[ell].conditioned_fine_action
+            k_x, sub = jax.random.split(k_x)
+            xs[ell] = cond.fill_fine_points(sub, x)
         return HierarchicalState(xs=tuple(xs), coarse=coarse)
 
     def set_state(self, state, x):

@@ -67,13 +67,21 @@ class MultilevelSampler(Sampler):
     def init(self, key, n_chains, dtype=None):
         dtype = dtype or default_dtype()
         k_x, k_c = jax.random.split(key)
-        xs = [self.action.initialise_state(k_x, n_chains, dtype)]
-        for ell in range(1, self.n_level):
-            xs.append(self.actions[ell - 1].restrict(xs[ell - 1]))
+        coarse = self.coarse_sampler.init(k_c, n_chains, dtype)
+        # seed the hierarchy upward from the coarsest state by
+        # prolongate + fill, so every level starts inside its proposal
+        # distribution (cf. samplers/hierarchical.py prepare)
+        L = self.n_level
+        xs = [None] * L
+        xs[L - 1] = self.coarse_sampler.x_of(coarse)
+        for ell in range(L - 2, -1, -1):
+            k_x, s1, s2 = jax.random.split(k_x, 3)
+            x = self.actions[ell].initialise_state(s1, n_chains, dtype)
+            x = self.actions[ell].prolongate(xs[ell + 1], x)
+            cond = self.twolevel_steps[ell].conditioned_fine_action
+            xs[ell] = cond.fill_fine_points(s2, x)
         tl = tuple(self.twolevel_steps[ell].init(xs[ell])
                    for ell in range(self.n_level - 1))
-        coarse = self.coarse_sampler.init(k_c, n_chains, dtype)
-        coarse = self.coarse_sampler.set_state(coarse, xs[-1])
         stats = tuple(self.stats_defs[ell].init(n_chains, dtype)
                       for ell in range(self.n_level))
         L = self.n_level

@@ -55,9 +55,9 @@ class QuenchedSchwingerClusterSampler(Sampler):
 
     def prepare(self, key, n_chains, dtype=None):
         k1, k2 = jax.random.split(key)
-        state = self.init(k1, n_chains, dtype)
-        cs = self.cluster.prepare(k2, n_chains, dtype)
-        return state._replace(psi=cs.x)
+        cs = self.cluster.prepare(k1, n_chains, dtype)
+        x = self._reconstruct(k2, cs.x)
+        return SchwingerClusterState(x=x, psi=cs.x)
 
     def draw(self, key, state: SchwingerClusterState):
         k1, k2 = jax.random.split(key)

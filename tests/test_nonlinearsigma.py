@@ -165,3 +165,34 @@ def test_conditioned_fill_consistency():
     from scipy import stats as sstats
     d, pval = sstats.kstest(u.ravel()[::7], "uniform")
     assert pval > 1e-3, (d, pval)
+
+
+def test_cluster2d_agrees_with_heatbath():
+    """Wolff cluster sampler vs heat-bath cross-validation on chi_m."""
+    from mlmcpathintegral_tpu.samplers.cluster2d import Cluster2DSampler
+    qoi = qoi_magnetic_susceptibility(ACT)
+    C = 128
+
+    def estimate(sampler, seed, n_keep=250):
+        st = sampler.prepare(jax.random.PRNGKey(seed), C, jnp.float64)
+        stats = Statistics("m", 40).init(C, jnp.float64)
+
+        @jax.jit
+        def run(key, st, stats):
+            def body(carry, k):
+                st, s = carry
+                st, _ = sampler.draw(k, st)
+                s = stats_mod.record(s, qoi(sampler.x_of(st)))
+                return (st, s), None
+            keys = jax.random.split(key, n_keep)
+            (st, s), _ = jax.lax.scan(body, (st, stats), keys)
+            return s
+        return run(jax.random.PRNGKey(seed + 50), st, stats)
+
+    s_cl = estimate(Cluster2DSampler(ACT, n_burnin=50, n_updates=5), 21)
+    s_hb = estimate(OverrelaxedHeatBathSampler(
+        ACT, n_sweep_heatbath=2, n_sweep_overrelax=1, n_burnin=200), 22)
+    st = Statistics("m", 40)
+    a1, e1 = st.average(s_cl), st.error(s_cl)
+    a2, e2 = st.average(s_hb), st.error(s_hb)
+    assert abs(a1 - a2) < 4 * math.sqrt(e1 * e1 + e2 * e2), (a1, a2, e1, e2)
