@@ -36,12 +36,14 @@ def parallel_setup(config):
 
 
 def make_sampler_factory(name: str, config, cond_factory=None,
-                         cluster_cls=ClusterSampler):
+                         cluster_cls=ClusterSampler, qoi_factory=None):
     """Return ``factory(action) -> Sampler`` for the named sampler type.
 
-    ``cond_factory`` (needed for the hierarchical sampler) builds the
-    conditioned fine action per level; ``cluster_cls`` lets the QFT driver
-    substitute the Schwinger cluster sampler."""
+    ``cond_factory`` (needed for the hierarchical/multilevel samplers)
+    builds the conditioned fine action per level; ``cluster_cls`` lets the
+    QFT driver substitute the Schwinger cluster sampler; ``qoi_factory``
+    supplies the per-level QoI the multilevel sampler's tau-adaptive walk
+    tracks."""
     if name == "HMC":
         sec = Section(config, "hmc",
                       defaults={"nt": 100, "dt": 0.1, "n_rep": 1,
@@ -75,11 +77,26 @@ def make_sampler_factory(name: str, config, cond_factory=None,
                       defaults={"n_max_level": 3, "coarsesampler": "HMC"})
         coarse_name = sec.get_string("coarsesampler", SAMPLER_CHOICES)
         coarse_factory = make_sampler_factory(coarse_name, config,
-                                              cond_factory, cluster_cls)
+                                              cond_factory, cluster_cls,
+                                              qoi_factory)
         if cond_factory is None:
             raise ValueError("hierarchical sampler needs a conditioned "
                              "fine action factory")
         return lambda action: HierarchicalSampler(
             action, coarse_factory, cond_factory,
+            n_max_level=sec.get_int("n_max_level", positive=True))
+    if name == "multilevel":
+        from mlmcpathintegral_tpu.samplers.multilevel import MultilevelSampler
+        sec = Section(config, "hierarchical",
+                      defaults={"n_max_level": 3, "coarsesampler": "HMC"})
+        coarse_name = sec.get_string("coarsesampler", SAMPLER_CHOICES)
+        coarse_factory = make_sampler_factory(coarse_name, config,
+                                              cond_factory, cluster_cls,
+                                              qoi_factory)
+        if cond_factory is None or qoi_factory is None:
+            raise ValueError("multilevel sampler needs conditioned fine "
+                             "action and QoI factories")
+        return lambda action: MultilevelSampler(
+            action, qoi_factory, coarse_factory, cond_factory,
             n_max_level=sec.get_int("n_max_level", positive=True))
     raise ValueError(f"unknown sampler '{name}'")

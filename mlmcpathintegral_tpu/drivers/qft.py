@@ -137,7 +137,8 @@ def main(argv=None):
         return 1
 
     def sampler_factory_by(name):
-        kwargs = {"cond_factory": cond_factory}
+        kwargs = {"cond_factory": cond_factory,
+                  "qoi_factory": qoi_factory}
         if cluster_cls is not None:
             kwargs["cluster_cls"] = cluster_cls
         return make_sampler_factory(name, config, **kwargs)

@@ -115,7 +115,8 @@ def main(argv=None):
                                 "epsilon": 1e-2, "sampler": "HMC"})
         sampler_factory = make_sampler_factory(
             sec.get_string("sampler", SAMPLER_CHOICES), config,
-            cond_factory=make_conditioned_fine_action)
+            cond_factory=make_conditioned_fine_action,
+            qoi_factory=qoi_factory)
         mc = MonteCarloSingleLevel(
             action, qoi_factory(action), sampler_factory(action),
             n_burnin=sec.get_int("n_burnin", positive=True),
@@ -133,7 +134,8 @@ def main(argv=None):
                                 "sampler": "HMC"})
         sampler_factory = make_sampler_factory(
             sec.get_string("sampler", SAMPLER_CHOICES), config,
-            cond_factory=make_conditioned_fine_action)
+            cond_factory=make_conditioned_fine_action,
+            qoi_factory=qoi_factory)
         mc = MonteCarloTwoLevel(
             action, qoi_factory, sampler_factory,
             make_conditioned_fine_action,
@@ -155,7 +157,8 @@ def main(argv=None):
                     defaults={"coarsesampler": "HMC",
                               "n_max_level": 3}).get_string(
                 "coarsesampler", SAMPLER_CHOICES),
-            config, cond_factory=make_conditioned_fine_action)
+            config, cond_factory=make_conditioned_fine_action,
+            qoi_factory=qoi_factory)
         mc = MonteCarloMultiLevel(
             action, qoi_factory, coarse_factory,
             make_conditioned_fine_action,

@@ -31,7 +31,8 @@ class MonteCarloSingleLevel:
     def __init__(self, action, qoi, sampler, *,
                  n_burnin: int = 100, n_samples: int = 0,
                  epsilon: float = 1e-2, n_autocorr_window: int = 20,
-                 n_min_samples_qoi: int = 100, chunk_size: int = 256):
+                 n_min_samples_qoi: int = 100, chunk_size: int = 256,
+                 qoi_log_path=None):
         self.action = action
         self.qoi = qoi
         self.sampler = sampler
@@ -42,6 +43,10 @@ class MonteCarloSingleLevel:
         self.chunk_size = int(chunk_size)
         self.stats_Q = Statistics("Q", n_autocorr_window)
         self.elapsed_s = 0.0
+        #: LOG_QOI analog (montecarlosinglelevel.cc:46-76): stream every
+        #: recorded per-chain QoI value to a binary float64 file of shape
+        #: [n_steps, n_chains] for offline analysis (tools/analyze_qoi_log)
+        self.qoi_log_path = qoi_log_path
 
         @jax.jit
         def _chunk(key, sampler_state, stats_state, n_active):
@@ -53,14 +58,24 @@ class MonteCarloSingleLevel:
                 ss, accept = self.sampler.draw(k, ss)
                 q = self.qoi(self.sampler.x_of(ss))
                 st = stats_mod.record_masked(st, q, i < n_active)
-                return (ss, st), jnp.sum(accept)
+                return (ss, st), (jnp.sum(accept), q)
             keys = jax.random.split(key, self.chunk_size)
             idx = jnp.arange(self.chunk_size)
-            (ss, st), n_acc = jax.lax.scan(
+            (ss, st), (n_acc, qs) = jax.lax.scan(
                 body, (sampler_state, stats_state), (keys, idx))
-            return ss, st, jnp.sum(n_acc)
+            return ss, st, jnp.sum(n_acc), qs
 
-        self._chunk = _chunk
+        self._chunk_impl = _chunk
+        self._log_fh = None
+
+    def _chunk(self, key, sampler_state, stats_state, n_active):
+        ss, st, n_acc, qs = self._chunk_impl(key, sampler_state,
+                                             stats_state, n_active)
+        if self._log_fh is not None:
+            import numpy as np
+            n = int(n_active)
+            np.asarray(qs[:n]).astype(np.float64).tofile(self._log_fh)
+        return ss, st, n_acc
 
     # -------------------------------------------------------------------------
 
@@ -71,8 +86,9 @@ class MonteCarloSingleLevel:
         t0 = time.monotonic()
         k_prep, k_burn, k_loop = jax.random.split(key, 3)
         sstate = self.sampler.prepare(k_prep, n_chains, dtype)
-        stats = self.stats_Q.init(n_chains,
-                                  sstate.x.dtype if dtype is None else dtype)
+        stats = self.stats_Q.init(
+            n_chains,
+            self.sampler.x_of(sstate).dtype if dtype is None else dtype)
 
         # burn-in recorded into long-term moments then soft-reset, so tau_int
         # is learned during warm-up (montecarlosinglelevel.cc:28-38)
@@ -86,6 +102,9 @@ class MonteCarloSingleLevel:
         if verbose:
             print("Burnin completed")
 
+        # open the QoI log after burn-in (montecarlosinglelevel.cc:46-56)
+        if self.qoi_log_path is not None:
+            self._log_fh = open(self.qoi_log_path, "wb")
         two_eps_inv2 = 2.0 / (self.epsilon * self.epsilon)
         n_accepted = 0
         n_drawn = 0
@@ -101,6 +120,9 @@ class MonteCarloSingleLevel:
             n_accepted += int(n_acc)
             n_drawn += self.chunk_size * n_chains
         self.p_accept = n_accepted / max(n_drawn, 1)
+        if self._log_fh is not None:
+            self._log_fh.close()
+            self._log_fh = None
         self.elapsed_s = time.monotonic() - t0
         return sstate, stats
 

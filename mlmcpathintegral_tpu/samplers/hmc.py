@@ -32,12 +32,16 @@ class HMCState(NamedTuple):
 class HMCSampler(Sampler):
 
     def __init__(self, action, nt: int = 100, dt: float = 0.1,
-                 n_rep: int = 1, n_burnin: int = 100):
+                 n_rep: int = 1, n_burnin: int = 100, unroll: int = 1):
         super().__init__(action)
         self.nt = int(nt)
         self.dt0 = float(dt)
         self.n_rep = int(n_rep)
         self.n_burnin = int(n_burnin)
+        #: unroll factor for the leapfrog scan — unrolling lets XLA fuse
+        #: several force/drift steps into one kernel, trading compile time
+        #: for far fewer HBM round-trips (the hot-loop optimisation on TPU)
+        self.unroll = int(unroll)
 
     # -- state -----------------------------------------------------------------
 
@@ -68,7 +72,9 @@ class HMCSampler(Sampler):
             xt = xt + dt * p
             return (xt, p), None
 
-        (xt, p), _ = jax.lax.scan(body, (xt, p), None, length=self.nt - 1)
+        (xt, p), _ = jax.lax.scan(body, (xt, p), None, length=self.nt - 1,
+                                  unroll=min(self.unroll, self.nt - 1)
+                                  if self.nt > 1 else 1)
         p = p - (0.5 * dt) * force(xt)
 
         T_trial = 0.5 * jnp.sum(p * p, axis=-1)
