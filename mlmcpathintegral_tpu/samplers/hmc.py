@@ -32,7 +32,8 @@ class HMCState(NamedTuple):
 class HMCSampler(Sampler):
 
     def __init__(self, action, nt: int = 100, dt: float = 0.1,
-                 n_rep: int = 1, n_burnin: int = 100, unroll: int = 1):
+                 n_rep: int = 1, n_burnin: int = 100, unroll: int = 1,
+                 use_pallas: bool = False, block_chains: int = 512):
         super().__init__(action)
         self.nt = int(nt)
         self.dt0 = float(dt)
@@ -42,6 +43,18 @@ class HMCSampler(Sampler):
         #: several force/drift steps into one kernel, trading compile time
         #: for far fewer HBM round-trips (the hot-loop optimisation on TPU)
         self.unroll = int(unroll)
+        #: run the whole trajectory as one fused Pallas VMEM kernel
+        #: (ops/pallas_hmc.py) — supported for the 1-D QM actions
+        self.use_pallas = bool(use_pallas)
+        self.block_chains = int(block_chains)
+        if use_pallas:
+            from mlmcpathintegral_tpu.ops.pallas_hmc import (
+                action_kernel_params,
+            )
+            self._kind, self._kparams = action_kernel_params(action)
+            if self._kind is None:
+                raise ValueError(
+                    f"no fused kernel for {type(action).__name__}")
 
     # -- state -----------------------------------------------------------------
 
@@ -55,6 +68,15 @@ class HMCSampler(Sampler):
     def _single_step(self, key, x, dt):
         """One HMC trajectory + Metropolis test on all chains
         (hmcsampler.cc:22-69). Returns (x_new, accept[C])."""
+        if self.use_pallas:
+            from mlmcpathintegral_tpu.ops.pallas_hmc import hmc_trajectory
+            k_mom, k_acc = jax.random.split(key)
+            p = jax.random.normal(k_mom, x.shape, x.dtype)
+            u = jax.random.uniform(k_acc, x.shape[:-1], x.dtype)
+            bc = min(self.block_chains, x.shape[0])
+            return hmc_trajectory(x, p, u, dt, kind=self._kind,
+                                  nt=self.nt, block_chains=bc,
+                                  **self._kparams)
         force = self.action.force
         k_mom, k_acc = jax.random.split(key)
         p = jax.random.normal(k_mom, x.shape, x.dtype)
