@@ -1,32 +1,52 @@
-"""Benchmark: effective samples/sec of the batched HMC chain engine on the
-harmonic oscillator (the reference's canonical single-level config,
-BASELINE.md config 1).
+"""Benchmark: effective samples/sec of the chain engine on TPU.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-effective samples/sec = (chains x steps/sec) / tau_int — the 1/tau_int-
-weighted throughput of statistically independent samples (BASELINE.json).
-``vs_baseline`` compares against the reference-equivalent C++ single-chain
-HMC measured on this host's CPU (baselines/baseline_hmc.cc, itself a
-faithful re-implementation of src/sampler/hmcsampler.cc because Eigen/GSL
-are unavailable to build the reference directly), scaled to all host cores
-— i.e. the aggregate throughput of the MPI build on this machine.
+Two benchmarks run (BASELINE.md configs 1 and 5's sampler core):
+  * schwinger: overrelaxed heat-bath chain on the 8x8 beta=4 quenched
+    Schwinger model measuring V chi_t — the headline metric
+    (1/tau_int-weighted effective samples/sec/chip)
+  * harmonic: batched HMC on the M=64 harmonic oscillator
+
+``vs_baseline`` compares the headline against the reference-equivalent C++
+single-chain implementation measured on this host's CPU
+(baselines/baseline_schwinger.cc / baseline_hmc.cc — faithful standalone
+re-implementations of the reference algorithms, since Eigen/GSL are not
+installable here), scaled by the host core count, i.e. the aggregate
+throughput of the MPI reference build on this machine.
 """
 
 import json
 import os
-import sys
 import time
 from pathlib import Path
 
 import jax
+
+if os.environ.get("BENCH_CPU"):
+    # validation mode on machines without a (healthy) TPU
+    jax.config.update("jax_default_device",
+                      jax.local_devices(backend="cpu")[0])
+
 import jax.numpy as jnp
 
 REPO = Path(__file__).resolve().parent
 
 
-def main():
+def _load_baseline(name):
+    f = REPO / "baselines" / name
+    if f.exists():
+        return json.loads(f.read_text())
+    return None
+
+
+def _ncores():
+    f = REPO / "baselines" / "ncores.txt"
+    return int(f.read_text()) if f.exists() else 1
+
+
+def bench_harmonic():
     from mlmcpathintegral_tpu.lattice import Lattice1D
     from mlmcpathintegral_tpu.models import HarmonicOscillatorAction
     from mlmcpathintegral_tpu.qoi import qoi_x_squared
@@ -35,19 +55,16 @@ def main():
     from mlmcpathintegral_tpu.utils.statistics import Statistics
 
     M, C, NT = 64, 8192, 20
-    K_MAX = 40
     dtype = jnp.float32
-
     lat = Lattice1D(M_lat=M, T_final=4.0)
     action = HarmonicOscillatorAction(lat, m0=1.0, mu2=1.0)
-    sampler = HMCSampler(action, nt=NT, dt=0.1, n_burnin=50)
+    sampler = HMCSampler(action, nt=NT, dt=0.1, n_burnin=50, unroll=4)
     qoi = qoi_x_squared(lat)
-    stats = Statistics("Q", K_MAX)
+    stats = Statistics("Q", 40)
 
     key = jax.random.PRNGKey(0)
     k_prep, k_run = jax.random.split(key)
     sstate = sampler.prepare(k_prep, C, dtype)
-
     STEPS = 64
 
     @jax.jit
@@ -62,51 +79,113 @@ def main():
         return ss, st, jnp.sum(acc)
 
     stats_state = stats.init(C, dtype)
-    # warm-up (compile + decorrelate)
     k_run, sub = jax.random.split(k_run)
-    sstate, stats_state, _ = chunk(sub, sstate, stats_state)
+    sstate, stats_state, _ = chunk(sub, sstate, stats_state)   # warm-up
     jax.block_until_ready(stats_state)
     stats_state = stats_mod.soft_reset(stats_state)
 
     n_chunks = 8
     t0 = time.monotonic()
-    n_acc = 0
     for _ in range(n_chunks):
         k_run, sub = jax.random.split(k_run)
-        sstate, stats_state, acc = chunk(sub, sstate, stats_state)
+        sstate, stats_state, _ = chunk(sub, sstate, stats_state)
     jax.block_until_ready(stats_state)
     wall = time.monotonic() - t0
-
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
-    avg = stats.average(stats_state)
-    sps = n_samples / wall
-    eff = sps / tau
+    eff = n_samples / wall / tau
+    base = _load_baseline("baseline_cpu.json")
+    vs = (eff / (base["eff_samples_per_sec"] * _ncores())
+          if base else None)
+    return {
+        "bench": "hmc_harmonic", "M": M, "n_chains": C, "nt": NT,
+        "samples_per_sec": round(n_samples / wall, 1),
+        "tau_int": round(tau, 3),
+        "avg_x2": round(stats.average(stats_state), 5),
+        "oracle_x2": round(action.Xsquared_analytical(), 5),
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
 
-    # reference baseline: single-core C++ x all host cores
-    vs_baseline = None
-    base_file = REPO / "baselines" / "baseline_cpu.json"
-    ncores_file = REPO / "baselines" / "ncores.txt"
-    if base_file.exists():
-        base = json.loads(base_file.read_text())
-        ncores = int(ncores_file.read_text()) if ncores_file.exists() else 1
-        ref_eff = base["eff_samples_per_sec"] * ncores
-        vs_baseline = eff / ref_eff
 
-    oracle = action.Xsquared_analytical()
+def bench_schwinger():
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    Mt, Mx, BETA, C = 8, 8, 4.0, 4096
+    dtype = jnp.float32
+    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
+    action = QuenchedSchwingerAction(lat, beta=BETA)
+    sampler = OverrelaxedHeatBathSampler(action, n_sweep_heatbath=1,
+                                         n_sweep_overrelax=1, n_burnin=100)
+    qoi = qoi_2d_susceptibility(action)
+    stats = Statistics("chit", 40)
+
+    key = jax.random.PRNGKey(1)
+    k_prep, k_run = jax.random.split(key)
+    sstate = sampler.prepare(k_prep, C, dtype)
+    STEPS = 32
+
+    @jax.jit
+    def chunk(key, sstate, stats_state):
+        def body(carry, k):
+            ss, st = carry
+            ss, _ = sampler.draw(k, ss)
+            st = stats_mod.record(st, qoi(ss.x))
+            return (ss, st), None
+        keys = jax.random.split(key, STEPS)
+        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+        return ss, st
+
+    stats_state = stats.init(C, dtype)
+    k_run, sub = jax.random.split(k_run)
+    sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
+    jax.block_until_ready(stats_state)
+    stats_state = stats_mod.soft_reset(stats_state)
+
+    n_chunks = 8
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        k_run, sub = jax.random.split(k_run)
+        sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n_samples = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    eff = n_samples / wall / tau
+    base = _load_baseline("baseline_schwinger_cpu.json")
+    vs = (eff / (base["eff_samples_per_sec"] * _ncores())
+          if base else None)
+    return {
+        "bench": "schwinger_heatbath", "Mt": Mt, "Mx": Mx, "beta": BETA,
+        "n_chains": C,
+        "samples_per_sec": round(n_samples / wall, 1),
+        "tau_int": round(tau, 3),
+        "avg_chit": round(stats.average(stats_state), 5),
+        "oracle_chit": round(action.chit_exact(), 5),
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
+
+
+def main():
+    sch = bench_schwinger()
+    har = bench_harmonic()
     result = {
         "metric": "effective_samples_per_sec_per_chip",
-        "value": round(eff, 1),
+        "value": sch["eff_samples_per_sec"],
         "unit": "eff_samples/s",
-        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "vs_baseline": sch["vs_baseline"],
         "detail": {
-            "bench": "hmc_harmonic_singlelevel",
-            "M": M, "n_chains": C, "nt": NT,
-            "samples_per_sec": round(sps, 1),
-            "tau_int": round(tau, 3),
-            "avg_x2": round(avg, 5),
-            "oracle_x2": round(oracle, 5),
-            "dt_tuned": round(float(sstate.dt), 5),
+            "headline": "schwinger_heatbath_8x8_beta4",
+            "schwinger": sch,
+            "harmonic": har,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
