@@ -3,6 +3,7 @@ from mlmcpathintegral_tpu.utils.special import (
     mod_pi,
     fast_i0_scaled,
     log_2pi_i0_scaled,
+    log_i0,
     Sigma_hat,
     Phi_chit,
     Phi_chit_perturbative,
@@ -12,3 +13,8 @@ from mlmcpathintegral_tpu.utils.special import (
     log_nCk,
 )
 from mlmcpathintegral_tpu.utils.statistics import Statistics
+from mlmcpathintegral_tpu.utils.timer import Timer
+from mlmcpathintegral_tpu.utils.config import Section, read_parameter_file
+from mlmcpathintegral_tpu.utils.checkpoint import (
+    checkpoint_metadata, load_checkpoint, save_checkpoint,
+)

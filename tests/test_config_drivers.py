@@ -102,3 +102,88 @@ parallel:
     out = capsys.readouterr().out
     assert "statistical error" in out
     assert "<x^2> [analytical]" in out
+
+
+def test_driver_qft_gff_smoke(tmp_path, capsys):
+    cfg = tmp_path / "qft.in"
+    cfg.write_text("""
+general:
+  method = 'singlelevel'
+quantumfieldtheory:
+  action = 'gff'
+lattice:
+  Mt_lat = 4
+  Mx_lat = 4
+  coarsening = 'rotate'
+gff:
+  mass = 2.0
+  renormalisation = 'none'
+singlelevelmc:
+  n_burnin = 10
+  n_samples = 400
+  epsilon = 1.0E-2
+  sampler = 'exact'
+parallel:
+  n_chains = 16
+  dtype = 'float64'
+""")
+    from mlmcpathintegral_tpu.drivers.qft import main
+    assert main([str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "<phi^2> [analytical]" in out
+
+
+def test_driver_qft_sigma_multilevel_blocked(tmp_path, capsys):
+    cfg = tmp_path / "sigma.in"
+    cfg.write_text("""
+general:
+  method = 'multilevel'
+quantumfieldtheory:
+  action = 'nonlinearsigma'
+lattice:
+  Mt_lat = 4
+  Mx_lat = 4
+  coarsening = 'rotate'
+nonlinearsigma:
+  beta = 1.0
+  renormalisation = 'none'
+parallel:
+  n_chains = 8
+  dtype = 'float64'
+""")
+    from mlmcpathintegral_tpu.drivers.qft import main
+    assert main([str(cfg)]) == 1
+    assert "not supported" in capsys.readouterr().out
+
+
+def test_driver_qm_multilevel_smoke(tmp_path, capsys):
+    cfg = tmp_path / "ml.in"
+    cfg.write_text("""
+general:
+  method = 'multilevel'
+quantummechanics:
+  action = 'harmonicoscillator'
+lattice:
+  M_lat = 8
+  T_final = 2.0
+harmonicoscillator:
+  m0 = 1.0
+  mu2 = 1.0
+  renormalisation = 'nonperturbative'
+multilevelmc:
+  n_level = 2
+  n_burnin = 50
+  n_samples = 800
+  epsilon = 1.0E-2
+  show_detailed_stats = true
+hierarchical:
+  n_max_level = 2
+  coarsesampler = 'exact'
+parallel:
+  n_chains = 16
+  dtype = 'float64'
+""")
+    from mlmcpathintegral_tpu.drivers.qm import main
+    assert main([str(cfg)]) == 0
+    out = capsys.readouterr().out
+    assert "Y[1]" in out and "statistical error" in out
