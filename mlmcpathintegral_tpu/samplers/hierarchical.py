@@ -27,6 +27,8 @@ from mlmcpathintegral_tpu.samplers.base import Sampler, default_dtype
 class HierarchicalState(NamedTuple):
     xs: tuple               # per-level states, xs[ell]: [C, M_ell]
     coarse: Any             # coarse-sampler state pytree
+    n_total: jnp.ndarray    # [L] per-level attempted moves
+    n_accepted: jnp.ndarray  # [L] per-level accepted moves
 
 
 class HierarchicalSampler(Sampler):
@@ -60,7 +62,9 @@ class HierarchicalSampler(Sampler):
         for ell in range(1, self.n_level):
             xs.append(self.actions[ell - 1].restrict(xs[ell - 1]))
         coarse = self.coarse_sampler.init(k_c, n_chains, dtype)
-        return HierarchicalState(xs=tuple(xs), coarse=coarse)
+        z = jnp.zeros((self.n_level,), jnp.int64)
+        return HierarchicalState(xs=tuple(xs), coarse=coarse,
+                                 n_total=z, n_accepted=z)
 
     def prepare(self, key, n_chains, dtype=None):
         """Prepare the coarsest-level sampler (burn-in/autotune, the work its
@@ -80,7 +84,9 @@ class HierarchicalSampler(Sampler):
             cond = self.twolevel_steps[ell].conditioned_fine_action
             k_x, sub = jax.random.split(k_x)
             xs[ell] = cond.fill_fine_points(sub, x)
-        return HierarchicalState(xs=tuple(xs), coarse=coarse)
+        z = jnp.zeros((self.n_level,), jnp.int64)
+        return HierarchicalState(xs=tuple(xs), coarse=coarse,
+                                 n_total=z, n_accepted=z)
 
     def set_state(self, state, x):
         xs = (x,) + tuple(state.xs[1:])
@@ -99,21 +105,47 @@ class HierarchicalSampler(Sampler):
             xs[ell] = self.actions[ell - 1].restrict(xs[ell - 1])
 
         keys = jax.random.split(key, L)
+        C = xs[0].shape[0]
+        n_total = state.n_total
+        n_accepted = state.n_accepted
         # coarsest level: standalone sampler move
         cs = self.coarse_sampler.set_state(state.coarse, xs[L - 1])
         cs, accept_all = self.coarse_sampler.draw(keys[L - 1], cs)
         xs[L - 1] = self._x_of(cs)
+        n_total = n_total.at[L - 1].add(C)
+        n_accepted = n_accepted.at[L - 1].add(
+            jnp.sum(accept_all, dtype=jnp.int64))
 
-        # walk back up; per-chain early exit via masking
+        # walk back up; per-chain early exit via masking (the per-level
+        # acceptance bookkeeping matches hierarchicalsampler.cc:90-117:
+        # a level only counts attempts by chains still alive)
         for ell in range(L - 2, -1, -1):
             step = self.twolevel_steps[ell]
             tl = step.init(xs[ell])
             tl, acc = step.draw(keys[ell], tl, xs[ell + 1])
             xs[ell] = jnp.where(accept_all[..., None], tl.theta, xs[ell])
+            n_total = n_total.at[ell].add(
+                jnp.sum(accept_all, dtype=jnp.int64))
+            n_accepted = n_accepted.at[ell].add(jnp.sum(
+                jnp.logical_and(accept_all, acc), dtype=jnp.int64))
             accept_all = jnp.logical_and(accept_all, acc)
 
-        return HierarchicalState(xs=tuple(xs), coarse=cs), accept_all
+        return HierarchicalState(xs=tuple(xs), coarse=cs,
+                                 n_total=n_total,
+                                 n_accepted=n_accepted), accept_all
 
     @staticmethod
     def _x_of(sampler_state):
         return sampler_state.x
+
+    def show_stats(self, state):
+        """Per-level acceptance report (hierarchicalsampler.cc:90-117)."""
+        import numpy as np
+        n_tot = np.asarray(state.n_total)
+        n_acc = np.asarray(state.n_accepted)
+        for ell in range(self.n_level):
+            tag = ("[finest]  " if ell == 0 else
+                   "[coarsest]" if ell == self.n_level - 1 else
+                   "          ")
+            p = n_acc[ell] / max(int(n_tot[ell]), 1)
+            print(f"  level {ell} {tag} : p = {p:.3f}")
