@@ -196,3 +196,34 @@ def test_cluster2d_agrees_with_heatbath():
     a1, e1 = st.average(s_cl), st.error(s_cl)
     a2, e2 = st.average(s_hb), st.error(s_hb)
     assert abs(a1 - a2) < 4 * math.sqrt(e1 * e1 + e2 * e2), (a1, a2, e1, e2)
+
+
+def test_sigma_twolevel_matches_singlelevel():
+    """Two-level screened sigma chain vs an independent single-level
+    heat-bath estimate of chi_m (no closed-form oracle)."""
+    from mlmcpathintegral_tpu.mc import MonteCarloSingleLevel
+    act = ACT
+    qoi_factory = qoi_magnetic_susceptibility
+
+    mc1 = MonteCarloSingleLevel(
+        act, qoi_factory(act),
+        OverrelaxedHeatBathSampler(act, n_sweep_heatbath=2,
+                                   n_sweep_overrelax=1, n_burnin=100),
+        n_burnin=200, n_samples=8000, n_autocorr_window=40, chunk_size=100)
+    _, st1 = mc1.evaluate(jax.random.PRNGKey(31), n_chains=64,
+                          dtype=jnp.float64)
+    a1, e1 = mc1.numerical_result(st1), mc1.statistical_error(st1)
+
+    mc2 = MonteCarloTwoLevel(
+        act, qoi_factory,
+        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+            a, n_sweep_heatbath=2, n_sweep_overrelax=1, n_burnin=100),
+        conditioned_fine_action_factory=NonlinearSigmaConditionedFineAction,
+        n_burnin=200, n_samples=8000, chunk_size=100)
+    st2 = mc2.evaluate_difference(jax.random.PRNGKey(32), n_chains=64,
+                                  dtype=jnp.float64)
+    a2 = mc2.stats_fine.average(st2["fine"])
+    e2 = mc2.stats_fine.error(st2["fine"])
+    assert mc2.p_accept > 0.2, mc2.p_accept
+    assert abs(a1 - a2) < 4 * math.sqrt(e1 * e1 + e2 * e2), \
+        (a1, a2, e1, e2, mc2.p_accept)
