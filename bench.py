@@ -24,10 +24,30 @@ from pathlib import Path
 
 import jax
 
-if os.environ.get("BENCH_CPU"):
-    # validation mode on machines without a (healthy) TPU
-    jax.config.update("jax_default_device",
-                      jax.local_devices(backend="cpu")[0])
+
+def _setup_backend() -> str:
+    """Prefer the accelerator; fall back to a CPU-pinned run (still
+    producing a JSON line) if the TPU plugin/tunnel is unhealthy."""
+    if os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_default_device",
+                          jax.local_devices(backend="cpu")[0])
+        return "cpu-pinned"
+    try:
+        devs = jax.devices()
+        if any("TPU" in str(d) or "tpu" in str(d).lower() for d in devs):
+            return "tpu"
+        return str(devs[0])
+    except RuntimeError:
+        try:
+            jax.config.update("jax_default_device",
+                              jax.local_devices(backend="cpu")[0])
+        except RuntimeError:
+            # plugin discovery itself is broken; restrict to cpu
+            jax.config.update("jax_platforms", "cpu")
+        return "cpu-fallback"
+
+
+_BACKEND = _setup_backend()
 
 import jax.numpy as jnp
 
@@ -186,8 +206,7 @@ def main():
             "headline": "schwinger_heatbath_8x8_beta4",
             "schwinger": sch,
             "harmonic": har,
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
+            "backend": _BACKEND,
         },
     }
     print(json.dumps(result))
