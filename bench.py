@@ -194,9 +194,50 @@ def bench_schwinger():
     }
 
 
+def bench_schwinger_mlmc():
+    """Full multilevel Schwinger susceptibility — the BASELINE.json
+    north-star configuration: estimate vs analytic oracle + wall-clock."""
+    from mlmcpathintegral_tpu.conditioned.schwinger import (
+        make_schwinger_conditioned_fine_action,
+    )
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.mc import MonteCarloMultiLevel
+    from mlmcpathintegral_tpu.models.base import RenormalisationType
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.samplers import QuenchedSchwingerClusterSampler
+
+    lat = Lattice2D(8, 8, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(
+        lat, beta=4.0, renormalisation=RenormalisationType.NONPERTURBATIVE)
+    C, N_SAMPLES = 1024, 100_000
+    mc = MonteCarloMultiLevel(
+        act, qoi_2d_susceptibility,
+        coarse_sampler_factory=lambda a: QuenchedSchwingerClusterSampler(
+            a, n_burnin=20, n_updates=5),
+        conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
+        n_level=2, n_burnin=100, n_samples=N_SAMPLES, chunk_size=64)
+    mc.evaluate(jax.random.PRNGKey(2), n_chains=C, dtype=jnp.float32)
+    num = mc.numerical_result()
+    err = mc.statistical_error()
+    oracle = act.chit_exact()
+    return {
+        "bench": "schwinger_mlmc", "Mt": 8, "Mx": 8, "beta": 4.0,
+        "n_level": 2, "n_chains": C, "n_samples_per_level": N_SAMPLES,
+        "chit": round(num, 5), "err": round(err, 5),
+        "oracle_chit": round(oracle, 5),
+        "sigma_dev": round(abs(num - oracle) / err, 2),
+        "wall_s": round(mc.elapsed_s, 2),
+        "samples_per_sec": round(2 * N_SAMPLES / mc.elapsed_s, 1),
+    }
+
+
 def main():
     sch = bench_schwinger()
     har = bench_harmonic()
+    mlmc = bench_schwinger_mlmc()
     result = {
         "metric": "effective_samples_per_sec_per_chip",
         "value": sch["eff_samples_per_sec"],
@@ -206,6 +247,7 @@ def main():
             "headline": "schwinger_heatbath_8x8_beta4",
             "schwinger": sch,
             "harmonic": har,
+            "schwinger_mlmc": mlmc,
             "backend": _BACKEND,
         },
     }
