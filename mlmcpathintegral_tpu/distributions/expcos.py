@@ -18,7 +18,9 @@ import math
 import jax
 import jax.numpy as jnp
 
-from mlmcpathintegral_tpu.distributions.rejection import batched_rejection_sample
+from mlmcpathintegral_tpu.distributions.rejection import (
+    batched_rejection_sample_mask,
+)
 from mlmcpathintegral_tpu.utils.special import fast_i0_scaled, mod_2pi
 
 TWO_PI = 2.0 * math.pi
@@ -29,7 +31,13 @@ class ExpCosDistribution:
     """Batched draw/evaluate; ``beta`` scalar, ``x_p``/``x_m`` arrays."""
 
     @staticmethod
-    def draw(key, beta, x_p, x_m, dtype=None):
+    def draw(key, beta, x_p, x_m, dtype=None, fallback=None,
+             max_iter: int = 100):
+        """Rejection draw.  With ``fallback`` (an array of current values in
+        the output frame) the loop is truncated at ``max_iter`` rounds and
+        unaccepted lanes return ``fallback`` — exact for MCMC heat-bath use
+        (state-independent kernel mixture), NOT for density-matched
+        fill-ins, which must omit ``fallback``."""
         x_p = jnp.asarray(x_p)
         x_m = jnp.broadcast_to(jnp.asarray(x_m), x_p.shape)
         x_p = jnp.broadcast_to(x_p, x_m.shape)
@@ -51,9 +59,13 @@ class ExpCosDistribution:
                 jnp.log(u) <= log_ratio)
             return x, ok
 
-        x = batched_rejection_sample(key, propose_accept, shape, dtype)
+        x, acc = batched_rejection_sample_mask(key, propose_accept, shape,
+                                               dtype, max_iter)
         shift = 0.5 * (x_p + x_m) + jnp.where(jnp.abs(dx) > pi, pi, 0.0)
-        return mod_2pi(x + shift)
+        out = mod_2pi(x + shift)
+        if fallback is not None:
+            out = jnp.where(acc, out, fallback)
+        return out
 
     @staticmethod
     def log_evaluate(x, beta, x_p, x_m):

@@ -15,7 +15,9 @@ import math
 import jax
 import jax.numpy as jnp
 
-from mlmcpathintegral_tpu.distributions.rejection import batched_rejection_sample
+from mlmcpathintegral_tpu.distributions.rejection import (
+    batched_rejection_sample_mask,
+)
 from mlmcpathintegral_tpu.utils.special import fast_i0_scaled
 
 TWO_PI = 2.0 * math.pi
@@ -26,8 +28,14 @@ class ExpSin2Distribution:
     broadcastable to the draw shape (per-lane parameters)."""
 
     @staticmethod
-    def draw(key, sigma, shape=None, dtype=None):
-        """Draw samples; returns array of ``shape`` (default: sigma.shape)."""
+    def draw(key, sigma, shape=None, dtype=None, fallback=None,
+             max_iter: int = 100):
+        """Draw samples; returns array of ``shape`` (default: sigma.shape).
+
+        With ``fallback`` the rejection loop is truncated at ``max_iter``
+        rounds and unaccepted lanes return ``fallback`` — exact only for
+        MCMC heat-bath use (state-independent mixture with the identity
+        kernel); density-matched fill-ins must omit it."""
         sigma = jnp.asarray(sigma)
         if shape is None:
             shape = sigma.shape
@@ -46,7 +54,11 @@ class ExpSin2Distribution:
             ok = jnp.logical_and(jnp.abs(r) < pi, jnp.log(u) < log_ratio)
             return r, ok
 
-        return batched_rejection_sample(key, propose_accept, shape, dtype)
+        x, acc = batched_rejection_sample_mask(key, propose_accept, shape,
+                                               dtype, max_iter)
+        if fallback is not None:
+            x = jnp.where(acc, x, fallback)
+        return x
 
     @staticmethod
     def evaluate(x, sigma):

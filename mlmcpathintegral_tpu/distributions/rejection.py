@@ -15,16 +15,21 @@ import jax
 import jax.numpy as jnp
 
 
-def batched_rejection_sample(key, propose_accept, shape, dtype,
-                             max_iter: int = 100):
+def batched_rejection_sample_mask(key, propose_accept, shape, dtype,
+                                  max_iter: int = 100):
     """Run batched rejection sampling until all lanes accept.
 
     ``propose_accept(key) -> (proposal, accept_mask)`` proposes a full batch
     of candidates of ``shape`` and a boolean mask of which lanes accept.
 
-    Returns an array of ``shape``/``dtype``.  ``max_iter`` bounds the loop
-    (protects against malformed parameters); lanes that never accept keep
-    their final proposal.
+    Returns ``(x, accepted)`` where ``x`` has ``shape``/``dtype`` and
+    ``accepted`` marks lanes that genuinely accepted within ``max_iter``
+    rounds (the rest keep their final proposal).  The loop exits early once
+    every lane has accepted, so the ``max_iter`` bound only matters when a
+    caller deliberately truncates it (see the ``fallback`` pattern in the
+    heat-bath draws: unaccepted lanes keep the current state, which is an
+    exact state-independent mixture of the heat-bath kernel with the
+    identity kernel and therefore still preserves the target).
     """
     def cond(carry):
         i, _key, _x, acc = carry
@@ -42,5 +47,15 @@ def batched_rejection_sample(key, propose_accept, shape, dtype,
     key, sub = jax.random.split(key)
     x0, acc0 = propose_accept(sub)
     i0 = jnp.zeros((), jnp.int32)
-    _, _, x, _ = jax.lax.while_loop(cond, body, (i0, key, x0, acc0))
-    return x.astype(dtype)
+    _, _, x, acc = jax.lax.while_loop(cond, body, (i0, key, x0, acc0))
+    return x.astype(dtype), acc
+
+
+def batched_rejection_sample(key, propose_accept, shape, dtype,
+                             max_iter: int = 100):
+    """As :func:`batched_rejection_sample_mask`, returning only the samples
+    (exact draws: callers that need the density to hold — the conditioned
+    fill-ins — use this with a large ``max_iter``)."""
+    x, _ = batched_rejection_sample_mask(key, propose_accept, shape, dtype,
+                                         max_iter)
+    return x

@@ -111,12 +111,14 @@ class QMAction(Action):
     def getWcurvature(self, x_m, x_p):
         """Curvature W'' at the minimum, elementwise over arrays."""
 
-    def heatbath_site(self, key, x_m, x_p):
+    def heatbath_site(self, key, x_m, x_p, x_cur=None):
         """Draw new site values from the conditional distribution given the
         neighbours.  Default: Gaussian N(Wmin, 1/Wcurvature) — exact for
         actions quadratic in a single site (harmonic oscillator); quartic
         uses the same Gaussian approximation as the reference
-        (qmaction.hh:150-170)."""
+        (qmaction.hh:150-170).  ``x_cur`` (the current site values) lets
+        rejection-based implementations truncate their loops exactly; the
+        direct Gaussian draw ignores it."""
         mean = self.getWminimum(x_m, x_p)
         curv = self.getWcurvature(x_m, x_p)
         xi = jax.random.normal(key, jnp.shape(mean), dtype=jnp.result_type(x_m))

@@ -97,27 +97,36 @@ class QuenchedSchwingerAction(Action):
 
     # -- staples and link sweeps -----------------------------------------------
 
+    @staticmethod
+    def _sh(A, di, dj):
+        """A(i+di, j+dj) on the grid [..., j, i]."""
+        out = A
+        if di:
+            out = jnp.roll(out, -di, axis=-1)
+        if dj:
+            out = jnp.roll(out, -dj, axis=-2)
+        return out
+
+    def staple_angles_mu(self, theta, mu: int):
+        """(theta_p, theta_m) for the links of one direction only, shape
+        [..., Mx, Mt] — half the work of :meth:`staple_angles` when a sweep
+        only updates one orientation."""
+        g = self._grid(theta)
+        T, X = g[..., 0], g[..., 1]
+        sh = self._sh
+        if mu == 0:   # temporal link at (i, j)
+            tp = mod_2pi(sh(T, 0, 1) + X - sh(X, 1, 0))
+            tm = mod_2pi(sh(T, 0, -1) + sh(X, 1, -1) - sh(X, 0, -1))
+        else:         # spatial link at (i, j)
+            tp = mod_2pi(T + sh(X, 1, 0) - sh(T, 0, 1))
+            tm = mod_2pi(sh(T, -1, 1) + sh(X, -1, 0) - sh(T, -1, 0))
+        return tp, tm
+
     def staple_angles(self, theta):
         """(theta_p, theta_m) for every link, each of shape
         [..., Mx, Mt, 2] (quenchedschwingeraction.cc:25-44)."""
-        g = self._grid(theta)
-        T, X = g[..., 0], g[..., 1]
-
-        def sh(A, di, dj):
-            """A(i+di, j+dj) on the grid [..., j, i]."""
-            out = A
-            if di:
-                out = jnp.roll(out, -di, axis=-1)
-            if dj:
-                out = jnp.roll(out, -dj, axis=-2)
-            return out
-
-        # mu = 0 (temporal link at (i, j)):
-        tp0 = mod_2pi(sh(T, 0, 1) + X - sh(X, 1, 0))
-        tm0 = mod_2pi(sh(T, 0, -1) + sh(X, 1, -1) - sh(X, 0, -1))
-        # mu = 1 (spatial link at (i, j)):
-        tp1 = mod_2pi(T + sh(X, 1, 0) - sh(T, 0, 1))
-        tm1 = mod_2pi(sh(T, -1, 1) + sh(X, -1, 0) - sh(T, -1, 0))
+        tp0, tm0 = self.staple_angles_mu(theta, 0)
+        tp1, tm1 = self.staple_angles_mu(theta, 1)
         theta_p = jnp.stack([tp0, tp1], axis=-1)
         theta_m = jnp.stack([tm0, tm1], axis=-1)
         return theta_p, theta_m
@@ -126,20 +135,29 @@ class QuenchedSchwingerAction(Action):
         """Four conflict-free (mu, parity) groups for the sweeps."""
         return [(0, 0), (0, 1), (1, 0), (1, 1)]
 
+    @staticmethod
+    def _group_sel(mu: int, parity: int):
+        """Selector into a [..., Mx, Mt] per-direction grid for one of the
+        4 conflict-free (mu, parity) groups."""
+        if mu == 0:   # temporal links grouped by j parity (axis -2)
+            return (Ellipsis, slice(parity, None, 2), slice(None))
+        return (Ellipsis, slice(None), slice(parity, None, 2))
+
     def heatbath_sweep(self, key, theta):
         """One full heat-bath sweep over all links, in 4 conflict-free
-        quarter-sweeps of batched ExpCos draws."""
+        quarter-sweeps of batched ExpCos draws.  The rejection loop is
+        truncated (stragglers keep the current link — exact identity
+        mixture), and only the active direction's staples are computed."""
         keys = jax.random.split(key, 4)
         for (mu, parity), k in zip(self._link_groups(), keys):
             g = self._grid(theta)
-            theta_p, theta_m = self.staple_angles(theta)
-            if mu == 0:   # temporal links grouped by j parity (axis -2/-3)
-                sel = (Ellipsis, slice(parity, None, 2), slice(None), 0)
-            else:         # spatial links grouped by i parity (axis -1/-2)
-                sel = (Ellipsis, slice(None), slice(parity, None, 2), 1)
+            theta_p, theta_m = self.staple_angles_mu(theta, mu)
+            sel = self._group_sel(mu, parity)
             tp, tm = theta_p[sel], theta_m[sel]
-            new = ExpCosDistribution.draw(k, self.beta, tp, tm)
-            g = g.at[sel].set(new)
+            cur = g[sel + (mu,)]
+            new = ExpCosDistribution.draw(k, self.beta, tp, tm,
+                                          fallback=cur, max_iter=6)
+            g = g.at[sel + (mu,)].set(new)
             theta = self._flat(g)
         return theta
 
@@ -148,13 +166,10 @@ class QuenchedSchwingerAction(Action):
         (quenchedschwingeraction.cc:57-66), in the same 4 groups."""
         for (mu, parity) in self._link_groups():
             g = self._grid(theta)
-            theta_p, theta_m = self.staple_angles(theta)
-            if mu == 0:
-                sel = (Ellipsis, slice(parity, None, 2), slice(None), 0)
-            else:
-                sel = (Ellipsis, slice(None), slice(parity, None, 2), 1)
-            new = mod_2pi(theta_p[sel] + theta_m[sel] - g[sel])
-            g = g.at[sel].set(new)
+            theta_p, theta_m = self.staple_angles_mu(theta, mu)
+            sel = self._group_sel(mu, parity)
+            new = mod_2pi(theta_p[sel] + theta_m[sel] - g[sel + (mu,)])
+            g = g.at[sel + (mu,)].set(new)
             theta = self._flat(g)
         return theta
 

@@ -63,12 +63,18 @@ class RotorAction(QMAction):
         return jnp.arctan2(jnp.sin(x_p) + jnp.sin(x_m),
                            jnp.cos(x_p) + jnp.cos(x_m))
 
-    def heatbath_site(self, key, x_m, x_p):
+    def heatbath_site(self, key, x_m, x_p, x_cur=None):
         """Heat-bath: x = mod_2pi(x0 + ExpSin2(sigma=2 W'')) — the exact
-        conditional of a site given both neighbours (rotoraction.cc:20-37)."""
+        conditional of a site given both neighbours (rotoraction.cc:20-37).
+        With ``x_cur`` the rejection loop is truncated to a few rounds and
+        stragglers keep the current value (exact identity-mixture)."""
         x0 = self.getWminimum(x_m, x_p)
         sigma = 2.0 * self.getWcurvature(x_m, x_p)
-        xi = ExpSin2Distribution.draw(key, sigma)
+        if x_cur is None:
+            xi = ExpSin2Distribution.draw(key, sigma)
+        else:
+            xi = ExpSin2Distribution.draw(
+                key, sigma, fallback=mod_2pi(x_cur - x0), max_iter=6)
         return mod_2pi(x0 + xi)
 
     def overrelax_site(self, x, x_m, x_p):

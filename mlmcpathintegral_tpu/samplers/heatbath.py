@@ -64,7 +64,8 @@ class OverrelaxedHeatBathSampler(Sampler):
         distribution given the (frozen) other parity."""
         x_m = jnp.roll(x, 1, axis=-1)[..., parity::2]
         x_p = jnp.roll(x, -1, axis=-1)[..., parity::2]
-        new = self.action.heatbath_site(key, x_m, x_p)
+        new = self.action.heatbath_site(key, x_m, x_p,
+                                        x_cur=x[..., parity::2])
         return x.at[..., parity::2].set(new)
 
     def _half_sweep_overrelax(self, x, parity: int):
