@@ -49,6 +49,15 @@ def _setup_backend() -> str:
 
 _BACKEND = _setup_backend()
 
+# Persistent compilation cache: the MLMC kernels (nested scan/while programs)
+# take tens of seconds to compile on first use; cache them across runs.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 
 REPO = Path(__file__).resolve().parent

@@ -125,6 +125,7 @@ class MonteCarloMultiLevel:
 
     def evaluate(self, key, n_chains: int, dtype=None, verbose: bool = False):
         t_start = time.monotonic()
+        self.timings = {}   # wall-clock per phase (prepare incl. compiles)
         L = self.n_level
         self.n_chains = n_chains
         keys = jax.random.split(key, 2 * L + 2)
@@ -160,6 +161,8 @@ class MonteCarloMultiLevel:
         carry_L = (cstate, st_y, st_cs_L, t_accum)
 
         key_run = keys[2 * L + 1]
+        jax.block_until_ready(carry_L)
+        self.timings["prepare_s"] = time.monotonic() - t_start
 
         def run_level(ell, carry, n_more, key_run):
             """Record n_more further samples on level ell."""
@@ -167,10 +170,13 @@ class MonteCarloMultiLevel:
             while done < n_more:
                 n = min(self.chunk_size, n_more - done)
                 key_run, sub = jax.random.split(key_run)
+                # n as an int32 scalar (a Python int would trace as a weak
+                # type, distinct from the burn-in path's dtype)
+                n_dev = jnp.asarray(n, jnp.int32)
                 if ell == L - 1:
-                    carry = self._chunk_L(sub, carry, n)
+                    carry = self._chunk_L(sub, carry, n_dev)
                 else:
-                    carry = self._chunk[ell](sub, carry, n)
+                    carry = self._chunk[ell](sub, carry, n_dev)
                 done += n
             return carry, key_run
 
@@ -192,6 +198,9 @@ class MonteCarloMultiLevel:
                    carry_L[2], carry_L[3])
         if verbose:
             print("Burnin completed")
+        jax.block_until_ready(carry_L)
+        self.timings["burnin_s"] = (time.monotonic() - t_start
+                                    - self.timings["prepare_s"])
 
         # measure per-sample cost of each level kernel (warm from burn-in)
         self.cost_per_sample = []
@@ -256,6 +265,9 @@ class MonteCarloMultiLevel:
                 break
         self.n_target = n_target
         self.elapsed_s = time.monotonic() - t_start
+        self.timings["sampling_s"] = (self.elapsed_s
+                                      - self.timings["prepare_s"]
+                                      - self.timings["burnin_s"])
 
         stats = []
         for ell in range(L):

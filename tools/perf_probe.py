@@ -1,0 +1,120 @@
+"""One-off performance probe on the real TPU.
+
+Sweeps the headline Schwinger heat-bath benchmark over chain counts and
+breaks the MLMC bench into compile vs steady-state time, to pick the
+bench.py operating point.  Run alone (the TPU tunnel is single-client).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def probe_schwinger(C):
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    lat = Lattice2D(8, 8, CoarseningType.BOTH)
+    action = QuenchedSchwingerAction(lat, beta=4.0)
+    sampler = OverrelaxedHeatBathSampler(action, 1, 1, n_burnin=100)
+    qoi = qoi_2d_susceptibility(action)
+    stats = Statistics("chit", 40)
+    key = jax.random.PRNGKey(1)
+    k_prep, k_run = jax.random.split(key)
+    t0 = time.monotonic()
+    sstate = sampler.prepare(k_prep, C, jnp.float32)
+    STEPS = 32
+
+    @jax.jit
+    def chunk(key, sstate, stats_state):
+        def body(carry, k):
+            ss, st = carry
+            ss, _ = sampler.draw(k, ss)
+            st = stats_mod.record(st, qoi(ss.x))
+            return (ss, st), None
+        keys = jax.random.split(key, STEPS)
+        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+        return ss, st
+
+    stats_state = stats.init(C, jnp.float32)
+    k_run, sub = jax.random.split(k_run)
+    sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    t_compile = time.monotonic() - t0
+    stats_state = stats_mod.soft_reset(stats_state)
+    n_chunks = 8
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        k_run, sub = jax.random.split(k_run)
+        sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    print(json.dumps({
+        "probe": "schwinger_heatbath", "C": C,
+        "prep_compile_s": round(t_compile, 2),
+        "samples_per_sec": round(n / wall, 0),
+        "tau_int": round(tau, 2),
+        "eff_samples_per_sec": round(n / wall / tau, 0),
+        "chit": round(stats.average(stats_state), 5),
+    }), flush=True)
+
+
+def probe_mlmc():
+    from mlmcpathintegral_tpu.conditioned.schwinger import (
+        make_schwinger_conditioned_fine_action,
+    )
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.mc import MonteCarloMultiLevel
+    from mlmcpathintegral_tpu.models.base import RenormalisationType
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.samplers import QuenchedSchwingerClusterSampler
+
+    lat = Lattice2D(8, 8, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(
+        lat, beta=4.0, renormalisation=RenormalisationType.NONPERTURBATIVE)
+    t0 = time.monotonic()
+    mc = MonteCarloMultiLevel(
+        act, qoi_2d_susceptibility,
+        coarse_sampler_factory=lambda a: QuenchedSchwingerClusterSampler(
+            a, n_burnin=20, n_updates=5),
+        conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
+        n_level=2, n_burnin=100, n_samples=100_000, chunk_size=64)
+    t_build = time.monotonic() - t0
+    t0 = time.monotonic()
+    mc.evaluate(jax.random.PRNGKey(2), n_chains=1024, dtype=jnp.float32)
+    t_eval = time.monotonic() - t0
+    print(json.dumps({
+        "probe": "schwinger_mlmc", "build_s": round(t_build, 2),
+        "eval_s": round(t_eval, 2),
+        "timings": {k: round(v, 2) for k, v in mc.timings.items()},
+        "cost_per_sample_us": [round(c, 3) for c in mc.cost_per_sample],
+        "chit": round(mc.numerical_result(), 5),
+        "err": round(mc.statistical_error(), 5),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    for C in (2048, 4096, 8192):
+        probe_schwinger(C)
+    probe_mlmc()
