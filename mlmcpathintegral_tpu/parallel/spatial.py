@@ -38,11 +38,13 @@ def gff_heatbath_sweep_noise(action, phi, xi):
     return phi
 
 
-def make_sharded_gff_sweep(action, mesh: Mesh, axis: str = "space"):
+def make_sharded_gff_sweep(action, mesh: Mesh, axis: str = "space",
+                           chain_axis: str | None = None):
     """Build a jitted sharded sweep: phi [C, N] with the spatial rows
-    sharded over ``axis``.  Requires an unrotated lattice whose Mx is a
-    multiple of 2 * mesh size (even rows per shard keep the global
-    checkerboard parity aligned across shards)."""
+    sharded over ``axis`` (and, if ``chain_axis`` is given, the chain axis
+    sharded over that mesh axis too — a 2-D dp x sp layout).  Requires an
+    unrotated lattice whose Mx is a multiple of 2 * mesh size (even rows
+    per shard keep the global checkerboard parity aligned across shards)."""
     lat = action.lattice
     if lat.rotated:
         raise ValueError("spatial sharding needs an unrotated lattice")
@@ -78,10 +80,9 @@ def make_sharded_gff_sweep(action, mesh: Mesh, axis: str = "space"):
             phi_loc = jnp.where(mask, new, phi_loc)
         return phi_loc
 
-    sweep = jax.shard_map(
-        local_sweep, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None)),
-        out_specs=P(None, axis, None))
+    spec = P(chain_axis, axis, None)
+    sweep = jax.shard_map(local_sweep, mesh=mesh,
+                          in_specs=(spec, spec), out_specs=spec)
 
     @jax.jit
     def sharded_sweep(phi, xi):
