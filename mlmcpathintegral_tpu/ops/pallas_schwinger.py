@@ -1,0 +1,220 @@
+"""Pallas TPU kernel: fully fused overrelax + heat-bath sweep for the
+quenched Schwinger model.
+
+The headline benchmark's hot loop is the link sweep
+(quenchedschwingeraction.cc:25-66): per step, 4 overrelaxation
+quarter-sweeps and 4 heat-bath quarter-sweeps with ExpCos rejection draws
+over [n_chains, Mx, Mt, 2] link angles.  Under XLA each quarter-sweep is a
+separate fusion with its own HBM round trip and the rejection loop is a
+`lax.while_loop` barrier.  This kernel runs the ENTIRE step — all 8
+quarter-sweeps plus K unrolled rejection rounds with on-core PRNG — in
+VMEM: one HBM read of theta and one write per draw.
+
+Layout: links live as [2, Mx, Mt, C_block] inside the kernel — the lattice
+t-axis on sublanes, the chain axis on the 128-wide lanes.  The i-shift of
+the staple stencil is a sublane roll; the j-shift is a vreg-level roll on a
+major axis.  RNG = a counter-based hash generator (double murmur3
+finalizer over (element id, step seed, static draw counter)) in plain
+vector ops, so the SAME bit stream runs under interpret mode on CPU and
+compiled on TPU; Box-Muller supplies the Gaussian envelope.
+
+The rejection draw is truncated at ``k_rej`` rounds; stragglers keep the
+current link (the exact identity-mixture argument of
+distributions/rejection.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TWO_PI = 2.0 * math.pi
+PI = math.pi
+FOURPI2_INV = 1.0 / (4.0 * math.pi * math.pi)
+
+
+def _mod_2pi(x):
+    """[-pi, pi) wrap (utils.special.mod_2pi)."""
+    return x - TWO_PI * jnp.floor(0.5 * (x + PI) / PI)
+
+
+def _sh(A, di, dj, Mt):
+    """A(i+di, j+dj) for A of shape [Mx, Mt, C] (axis 0 = j, axis 1 = i)."""
+    out = A
+    if di:
+        out = pltpu.roll(out, (-di) % Mt, axis=1)
+    if dj:
+        out = jnp.roll(out, -dj, axis=0)
+    return out
+
+
+def _staples(T, X, mu, Mt):
+    """(theta_p, theta_m) for direction mu (models/qft/schwinger.py
+    staple_angles_mu; quenchedschwingeraction.cc:25-44)."""
+    def sh(A, di, dj):
+        return _sh(A, di, dj, Mt)
+    if mu == 0:
+        tp = _mod_2pi(sh(T, 0, 1) + X - sh(X, 1, 0))
+        tm = _mod_2pi(sh(T, 0, -1) + sh(X, 1, -1) - sh(X, 0, -1))
+    else:
+        tp = _mod_2pi(T + sh(X, 1, 0) - sh(T, 0, 1))
+        tm = _mod_2pi(sh(T, -1, 1) + sh(X, -1, 0) - sh(T, -1, 0))
+    return tp, tm
+
+
+def _fmix32(h):
+    """murmur3 32-bit finalizer (full avalanche)."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+class _Rng:
+    """Counter-based per-element RNG: bits = fmix(fmix(id*phi ^ seed) +
+    ctr*c).  ``seed`` is the dynamic per-step seed; ``ctr`` a static
+    counter incremented per draw, so every uniform in the unrolled sweep
+    uses an independent stream."""
+
+    def __init__(self, seed_u32, elem_id):
+        self.seed = seed_u32
+        self.base = _fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
+        self.ctr = 0
+
+    def bits(self):
+        self.ctr += 1
+        return _fmix32(self.base + jnp.uint32(self.ctr) *
+                       jnp.uint32(0xC2B2AE3D))
+
+    def uniform(self, dtype):
+        """(0, 1] uniforms.  Mosaic has no uint32->float cast; build a
+        float in [1, 2) by bit-twiddling the exponent, then map to (0, 1]."""
+        fbits = (self.bits() >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+        f = jax.lax.bitcast_convert_type(fbits, jnp.float32)   # [1, 2)
+        return (jnp.float32(2.0) - f).astype(dtype)            # (0, 1]
+
+    def normal(self, dtype):
+        """Standard normals via Box-Muller."""
+        u1 = self.uniform(dtype)
+        u2 = self.uniform(dtype)
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+def _parity_mask(shape, axis, parity):
+    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    return (idx % 2) == parity
+
+
+def _expcos_draw(rng, cur, tp, tm, beta, k_rej, dtype):
+    """Heat-bath draw from p(x) ~ exp[beta(cos(x-tp)+cos(x-tm))] with a
+    Gaussian-envelope rejection truncated at k_rej rounds; lanes that never
+    accept keep ``cur`` (distributions/expcos.py draw)."""
+    dx = tm - tp
+    tau = 2.0 * beta * jnp.abs(jnp.cos(0.5 * dx))
+    sigma = PI * jnp.sqrt(2.0 / tau)
+    shift = 0.5 * (tp + tm) + jnp.where(jnp.abs(dx) > PI, PI, 0.0)
+
+    x = jnp.zeros_like(cur)
+    acc = jnp.zeros(cur.shape, jnp.bool_)
+    for _ in range(k_rej):
+        prop = sigma * rng.normal(dtype)
+        u = rng.uniform(dtype)
+        log_ratio = tau * (jnp.cos(prop) - 1.0 + FOURPI2_INV * prop * prop)
+        ok = jnp.logical_and(jnp.logical_and(-PI <= prop, prop < PI),
+                             jnp.log(u) <= log_ratio)
+        x = jnp.where(jnp.logical_and(ok, ~acc), prop, x)
+        acc = jnp.logical_or(acc, ok)
+    out = _mod_2pi(x + shift)
+    return jnp.where(acc, out, cur)
+
+
+def _group_update(T, X, mu, parity, new_of, Mt):
+    """Apply ``new_of(cur, tp, tm)`` to the (mu, parity) link group."""
+    tp, tm = _staples(T, X, mu, Mt)
+    cur = T if mu == 0 else X
+    new = new_of(cur, tp, tm)
+    if mu == 0:   # temporal links grouped by j parity (axis 0)
+        mask = _parity_mask(cur.shape, 0, parity)
+        return jnp.where(mask, new, T), X
+    mask = _parity_mask(cur.shape, 1, parity)   # i parity (axis 1)
+    return T, jnp.where(mask, new, X)
+
+
+def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
+                  n_overrelax, n_heatbath, k_rej, block_chains):
+    dtype = theta_ref.dtype
+    T = theta_ref[0]
+    X = theta_ref[1]
+    groups = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+    # unique element id per (j, i, global chain) lane
+    shape = T.shape
+    j_idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    i_idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    c_idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+             + jnp.uint32(block_chains) * pl.program_id(0).astype(jnp.uint32))
+    elem = (j_idx * jnp.uint32(shape[1]) + i_idx) * jnp.uint32(1 << 20) \
+        + c_idx
+    rng = _Rng(seed_ref[0].astype(jnp.uint32), elem)
+
+    def overrelax(cur, tp, tm):
+        return _mod_2pi(tp + tm - cur)
+
+    def heatbath(cur, tp, tm):
+        return _expcos_draw(rng, cur, tp, tm, beta, k_rej, dtype)
+
+    for _ in range(n_overrelax):
+        for mu, parity in groups:
+            T, X = _group_update(T, X, mu, parity, overrelax, Mt)
+    for _ in range(n_heatbath):
+        for mu, parity in groups:
+            T, X = _group_update(T, X, mu, parity, heatbath, Mt)
+    out_ref[0] = T
+    out_ref[1] = X
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "beta", "Mt", "Mx", "n_overrelax", "n_heatbath", "k_rej",
+    "block_chains", "interpret"))
+def schwinger_sweep(theta, seed, *, beta, Mt, Mx, n_overrelax=1,
+                    n_heatbath=1, k_rej=6, block_chains=128,
+                    interpret=False):
+    """One fused overrelax+heat-bath step on all chains.
+
+    theta: [C, Mx*Mt*2] flat link angles (the action's state layout);
+    seed: int32 scalar (fold the step counter in).  Returns the new theta.
+    """
+    C = theta.shape[0]
+    if C % block_chains:
+        raise ValueError(f"n_chains {C} must be a multiple of "
+                         f"block_chains {block_chains}")
+    # [C, Mx, Mt, 2] -> [2, Mx, Mt, C]: lanes = chains, sublanes = t-axis
+    g = theta.reshape(C, Mx, Mt, 2).transpose(3, 1, 2, 0)
+    seed_arr = jnp.asarray([seed], jnp.int32)
+
+    kernel = functools.partial(
+        _sweep_kernel, beta=float(beta), Mt=int(Mt),
+        n_overrelax=int(n_overrelax), n_heatbath=int(n_heatbath),
+        k_rej=int(k_rej), block_chains=int(block_chains))
+    out = pl.pallas_call(
+        kernel,
+        grid=(C // block_chains,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, Mx, Mt, block_chains),
+                         lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, Mx, Mt, block_chains),
+                               lambda i: (0, 0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, Mx, Mt, C), theta.dtype),
+        interpret=interpret,
+    )(seed_arr, g)
+    return out.transpose(3, 1, 2, 0).reshape(C, Mx * Mt * 2)

@@ -40,7 +40,8 @@ class OverrelaxedHeatBathSampler(Sampler):
     """
 
     def __init__(self, action, n_sweep_heatbath: int = 1,
-                 n_sweep_overrelax: int = 1, n_burnin: int = 100):
+                 n_sweep_overrelax: int = 1, n_burnin: int = 100,
+                 use_pallas: bool = False):
         super().__init__(action)
         #: actions providing whole-lattice coloured sweeps (2-D QFT models)
         #: are used directly; otherwise the generic 1-D even/odd site sweep
@@ -51,6 +52,16 @@ class OverrelaxedHeatBathSampler(Sampler):
         self.n_sweep_heatbath = int(n_sweep_heatbath)
         self.n_sweep_overrelax = int(n_sweep_overrelax)
         self.n_burnin = int(n_burnin)
+        #: fused Pallas step (ops/pallas_schwinger.py) — supported for the
+        #: quenched Schwinger action only
+        self.use_pallas = bool(use_pallas)
+        if use_pallas:
+            from mlmcpathintegral_tpu.models.qft.schwinger import (
+                QuenchedSchwingerAction,
+            )
+            if type(action) is not QuenchedSchwingerAction:
+                raise ValueError("use_pallas requires the quenched "
+                                 "Schwinger action")
 
     def init(self, key, n_chains, dtype=None):
         dtype = dtype or default_dtype()
@@ -78,6 +89,24 @@ class OverrelaxedHeatBathSampler(Sampler):
 
     def draw(self, key, state: HeatBathState):
         x = state.x
+        if self.use_pallas:
+            from mlmcpathintegral_tpu.ops.pallas_schwinger import (
+                schwinger_sweep,
+            )
+            lat = self.action.lattice
+            seed = jax.random.randint(key, (), -2**31, 2**31 - 1,
+                                      dtype=jnp.int32)
+            block = 1024                 # largest power-of-two divisor
+            while x.shape[0] % block:
+                block //= 2
+            x = schwinger_sweep(
+                x, seed, beta=self.action.beta,
+                Mt=lat.Mt_lat, Mx=lat.Mx_lat,
+                n_overrelax=self.n_sweep_overrelax,
+                n_heatbath=self.n_sweep_heatbath,
+                block_chains=block)
+            accept = jnp.ones(x.shape[:-1], bool)
+            return HeatBathState(x=x), accept
         if self._action_sweeps:
             for _ in range(self.n_sweep_overrelax):
                 x = self.action.overrelaxation_sweep(x)

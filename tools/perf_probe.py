@@ -77,6 +77,65 @@ def probe_schwinger(C):
     }), flush=True)
 
 
+def probe_schwinger_pallas(C):
+    """Fused Pallas sweep vs the XLA sweep on the headline config."""
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.ops.pallas_schwinger import schwinger_sweep
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    Mt, Mx, BETA = 8, 8, 4.0
+    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
+    action = QuenchedSchwingerAction(lat, beta=BETA)
+    qoi = qoi_2d_susceptibility(action)
+    stats = Statistics("chit", 40)
+    STEPS = 32
+
+    t0 = time.monotonic()
+    theta = jax.random.uniform(jax.random.PRNGKey(3), (C, lat.nedges),
+                               jnp.float32, -3.14159, 3.14159)
+
+    @jax.jit
+    def chunk(seed0, theta, stats_state):
+        def body(carry, seed):
+            th, st = carry
+            th = schwinger_sweep(th, seed, beta=BETA, Mt=Mt, Mx=Mx,
+                                 block_chains=min(C, 1024))
+            st = stats_mod.record(st, qoi(th))
+            return (th, st), None
+        (th, st), _ = jax.lax.scan(body, (theta, stats_state),
+                                   seed0 + jnp.arange(STEPS, dtype=jnp.int32))
+        return th, st
+
+    stats_state = stats.init(C, jnp.float32)
+    for k in range(4):   # burn-in ~128 steps
+        theta, stats_state = chunk(jnp.int32(1000 * k), theta, stats_state)
+    jax.block_until_ready(stats_state)
+    t_compile = time.monotonic() - t0
+    stats_state = stats_mod.soft_reset(stats_state)
+    n_chunks = 8
+    t0 = time.monotonic()
+    for k in range(n_chunks):
+        theta, stats_state = chunk(jnp.int32(7777 + 100 * k), theta,
+                                   stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    print(json.dumps({
+        "probe": "schwinger_heatbath_pallas", "C": C,
+        "prep_compile_s": round(t_compile, 2),
+        "samples_per_sec": round(n / wall, 0),
+        "tau_int": round(tau, 2),
+        "eff_samples_per_sec": round(n / wall / tau, 0),
+        "chit": round(stats.average(stats_state), 5),
+    }), flush=True)
+
+
 def probe_mlmc():
     from mlmcpathintegral_tpu.conditioned.schwinger import (
         make_schwinger_conditioned_fine_action,
@@ -115,6 +174,13 @@ def probe_mlmc():
 
 
 if __name__ == "__main__":
-    for C in (2048, 4096, 8192):
-        probe_schwinger(C)
-    probe_mlmc()
+    import os
+    which = os.environ.get("PROBE", "all")
+    if which in ("all", "xla"):
+        for C in (2048, 4096, 8192):
+            probe_schwinger(C)
+    if which in ("all", "pallas"):
+        for C in (4096, 16384):
+            probe_schwinger_pallas(C)
+    if which in ("all", "mlmc"):
+        probe_mlmc()
