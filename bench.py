@@ -87,7 +87,10 @@ def bench_harmonic():
     dtype = jnp.float32
     lat = Lattice1D(M_lat=M, T_final=4.0)
     action = HarmonicOscillatorAction(lat, m0=1.0, mu2=1.0)
-    sampler = HMCSampler(action, nt=NT, dt=0.1, n_burnin=50, unroll=4)
+    # the fused Pallas trajectory is ~3x the XLA scan on the chip; Mosaic
+    # needs the real TPU, so the CPU fallback keeps the scan path
+    sampler = HMCSampler(action, nt=NT, dt=0.1, n_burnin=50, unroll=4,
+                         use_pallas=(_BACKEND == "tpu"), block_chains=1024)
     qoi = qoi_x_squared(lat)
     stats = Statistics("Q", 40)
 
@@ -300,7 +303,10 @@ def bench_schwinger_mlmc():
         "oracle_chit": round(oracle, 5),
         "sigma_dev": round(abs(num - oracle) / err, 2),
         "wall_s": round(mc.elapsed_s, 2),
+        "timings": {k: round(v, 2) for k, v in mc.timings.items()},
         "samples_per_sec": round(2 * N_SAMPLES / mc.elapsed_s, 1),
+        "sampling_samples_per_sec": round(
+            2 * N_SAMPLES / max(mc.timings["sampling_s"], 1e-9), 1),
     }
 
 

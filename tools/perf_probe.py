@@ -173,6 +173,65 @@ def probe_mlmc():
     }), flush=True)
 
 
+def probe_hmc_pallas(C):
+    """Fused Pallas HMC trajectory (ops/pallas_hmc.py) on the harmonic
+    bench config, compiled on the real chip."""
+    from mlmcpathintegral_tpu.lattice import Lattice1D
+    from mlmcpathintegral_tpu.models import HarmonicOscillatorAction
+    from mlmcpathintegral_tpu.qoi import qoi_x_squared
+    from mlmcpathintegral_tpu.samplers import HMCSampler
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    M, NT = 64, 20
+    lat = Lattice1D(M_lat=M, T_final=4.0)
+    action = HarmonicOscillatorAction(lat, m0=1.0, mu2=1.0)
+    sampler = HMCSampler(action, nt=NT, dt=0.1, n_burnin=50,
+                         use_pallas=True, block_chains=min(C, 1024))
+    qoi = qoi_x_squared(lat)
+    stats = Statistics("Q", 40)
+    key = jax.random.PRNGKey(0)
+    k_prep, k_run = jax.random.split(key)
+    t0 = time.monotonic()
+    sstate = sampler.prepare(k_prep, C, jnp.float32)
+    STEPS = 64
+
+    @jax.jit
+    def chunk(key, sstate, stats_state):
+        def body(carry, k):
+            ss, st = carry
+            ss, acc = sampler.draw(k, ss)
+            st = stats_mod.record(st, qoi(ss.x))
+            return (ss, st), None
+        keys = jax.random.split(key, STEPS)
+        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+        return ss, st
+
+    stats_state = stats.init(C, jnp.float32)
+    k_run, sub = jax.random.split(k_run)
+    sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    t_compile = time.monotonic() - t0
+    stats_state = stats_mod.soft_reset(stats_state)
+    n_chunks = 8
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        k_run, sub = jax.random.split(k_run)
+        sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    print(json.dumps({
+        "probe": "hmc_harmonic_pallas", "C": C,
+        "prep_compile_s": round(t_compile, 2),
+        "samples_per_sec": round(n / wall, 0),
+        "tau_int": round(tau, 2),
+        "eff_samples_per_sec": round(n / wall / tau, 0),
+        "avg_x2": round(stats.average(stats_state), 5),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     import os
     which = os.environ.get("PROBE", "all")
@@ -182,5 +241,7 @@ if __name__ == "__main__":
     if which in ("all", "pallas"):
         for C in (4096, 16384):
             probe_schwinger_pallas(C)
+    if which in ("all", "hmc_pallas"):
+        probe_hmc_pallas(8192)
     if which in ("all", "mlmc"):
         probe_mlmc()
