@@ -1,0 +1,77 @@
+"""Counter-based in-kernel RNG for Pallas TPU kernels.
+
+Mosaic's hardware PRNG (`pltpu.prng_random_bits`) has no interpret-mode
+lowering, so the fused samplers use a counter-based hash generator in
+plain vector ops instead: bits = fmix32(fmix32(elem_id * phi ^ seed) +
+ctr * c) with the murmur3 finalizer (full avalanche).  The SAME bit
+stream therefore runs under interpret mode on CPU (tests) and compiled on
+TPU (bench), and draws are reproducible given (seed, element id, counter).
+
+``seed`` is the dynamic per-step value; ``ctr`` is a static Python
+counter incremented per draw so every uniform in an unrolled sweep uses
+an independent stream.  Element ids must be unique per (site, chain) —
+the kernels build them as site_index * 2^20 + global_chain_index, unique
+for lattices up to 4096 sites and 2^20 chains.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * math.pi
+
+
+def fmix32(h):
+    """murmur3 32-bit finalizer (full avalanche)."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+class CounterRng:
+    """Per-element counter-based RNG (see module docstring)."""
+
+    def __init__(self, seed_u32, elem_id):
+        self.seed = seed_u32
+        self.base = fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
+        self.ctr = 0
+
+    def bits(self):
+        self.ctr += 1
+        return fmix32(self.base + jnp.uint32(self.ctr) *
+                      jnp.uint32(0xC2B2AE3D))
+
+    def uniform(self, dtype):
+        """(0, 1] uniforms.  Mosaic has no uint32->float cast; build a
+        float in [1, 2) by bit-twiddling the exponent, then map to (0, 1]."""
+        fbits = (self.bits() >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+        f = jax.lax.bitcast_convert_type(fbits, jnp.float32)   # [1, 2)
+        return (jnp.float32(2.0) - f).astype(dtype)            # (0, 1]
+
+    def normal(self, dtype):
+        """Standard normals via Box-Muller."""
+        u1 = self.uniform(dtype)
+        u2 = self.uniform(dtype)
+        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+def element_ids(shape, block_chains, program_id, chain_axis=-1):
+    """Unique uint32 id per (site..., chain) element of ``shape`` where
+    ``chain_axis`` indexes the per-block chain lanes."""
+    ndim = len(shape)
+    chain_axis = chain_axis % ndim
+    site = jnp.zeros(shape, jnp.uint32)
+    for ax in range(ndim):
+        if ax == chain_axis:
+            continue
+        site = site * jnp.uint32(shape[ax]) \
+            + jax.lax.broadcasted_iota(jnp.uint32, shape, ax)
+    c_idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, chain_axis)
+             + jnp.uint32(block_chains) * program_id.astype(jnp.uint32))
+    return site * jnp.uint32(1 << 20) + c_idx

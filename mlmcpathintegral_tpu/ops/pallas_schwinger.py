@@ -67,44 +67,7 @@ def _staples(T, X, mu, Mt):
     return tp, tm
 
 
-def _fmix32(h):
-    """murmur3 32-bit finalizer (full avalanche)."""
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    return h
-
-
-class _Rng:
-    """Counter-based per-element RNG: bits = fmix(fmix(id*phi ^ seed) +
-    ctr*c).  ``seed`` is the dynamic per-step seed; ``ctr`` a static
-    counter incremented per draw, so every uniform in the unrolled sweep
-    uses an independent stream."""
-
-    def __init__(self, seed_u32, elem_id):
-        self.seed = seed_u32
-        self.base = _fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
-        self.ctr = 0
-
-    def bits(self):
-        self.ctr += 1
-        return _fmix32(self.base + jnp.uint32(self.ctr) *
-                       jnp.uint32(0xC2B2AE3D))
-
-    def uniform(self, dtype):
-        """(0, 1] uniforms.  Mosaic has no uint32->float cast; build a
-        float in [1, 2) by bit-twiddling the exponent, then map to (0, 1]."""
-        fbits = (self.bits() >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
-        f = jax.lax.bitcast_convert_type(fbits, jnp.float32)   # [1, 2)
-        return (jnp.float32(2.0) - f).astype(dtype)            # (0, 1]
-
-    def normal(self, dtype):
-        """Standard normals via Box-Muller."""
-        u1 = self.uniform(dtype)
-        u2 = self.uniform(dtype)
-        return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+from mlmcpathintegral_tpu.ops.pallas_rng import CounterRng, element_ids
 
 
 def _parity_mask(shape, axis, parity):
@@ -155,14 +118,8 @@ def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
     groups = [(0, 0), (0, 1), (1, 0), (1, 1)]
 
     # unique element id per (j, i, global chain) lane
-    shape = T.shape
-    j_idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    i_idx = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    c_idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-             + jnp.uint32(block_chains) * pl.program_id(0).astype(jnp.uint32))
-    elem = (j_idx * jnp.uint32(shape[1]) + i_idx) * jnp.uint32(1 << 20) \
-        + c_idx
-    rng = _Rng(seed_ref[0].astype(jnp.uint32), elem)
+    elem = element_ids(T.shape, block_chains, pl.program_id(0))
+    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem)
 
     def overrelax(cur, tp, tm):
         return _mod_2pi(tp + tm - cur)

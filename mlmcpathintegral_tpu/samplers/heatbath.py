@@ -52,16 +52,24 @@ class OverrelaxedHeatBathSampler(Sampler):
         self.n_sweep_heatbath = int(n_sweep_heatbath)
         self.n_sweep_overrelax = int(n_sweep_overrelax)
         self.n_burnin = int(n_burnin)
-        #: fused Pallas step (ops/pallas_schwinger.py) — supported for the
-        #: quenched Schwinger action only
+        #: fused Pallas step (ops/pallas_schwinger.py / ops/pallas_gff.py) —
+        #: supported for the quenched Schwinger action and the plain
+        #: (unsmoothed, unrotated) GFF
         self.use_pallas = bool(use_pallas)
+        self._pallas_kind = None
         if use_pallas:
+            from mlmcpathintegral_tpu.models.qft.gff import GFFAction
             from mlmcpathintegral_tpu.models.qft.schwinger import (
                 QuenchedSchwingerAction,
             )
-            if type(action) is not QuenchedSchwingerAction:
+            if type(action) is QuenchedSchwingerAction:
+                self._pallas_kind = "schwinger"
+            elif (type(action) is GFFAction and action.n_gibbs_smooth == 0
+                  and not action.lattice.rotated):
+                self._pallas_kind = "gff"
+            else:
                 raise ValueError("use_pallas requires the quenched "
-                                 "Schwinger action")
+                                 "Schwinger action or the plain GFF")
 
     def init(self, key, n_chains, dtype=None):
         dtype = dtype or default_dtype()
@@ -90,21 +98,30 @@ class OverrelaxedHeatBathSampler(Sampler):
     def draw(self, key, state: HeatBathState):
         x = state.x
         if self.use_pallas:
-            from mlmcpathintegral_tpu.ops.pallas_schwinger import (
-                schwinger_sweep,
-            )
             lat = self.action.lattice
             seed = jax.random.randint(key, (), -2**31, 2**31 - 1,
                                       dtype=jnp.int32)
             block = 1024                 # largest power-of-two divisor
             while x.shape[0] % block:
                 block //= 2
-            x = schwinger_sweep(
-                x, seed, beta=self.action.beta,
-                Mt=lat.Mt_lat, Mx=lat.Mx_lat,
-                n_overrelax=self.n_sweep_overrelax,
-                n_heatbath=self.n_sweep_heatbath,
-                block_chains=block)
+            if self._pallas_kind == "schwinger":
+                from mlmcpathintegral_tpu.ops.pallas_schwinger import (
+                    schwinger_sweep,
+                )
+                x = schwinger_sweep(
+                    x, seed, beta=self.action.beta,
+                    Mt=lat.Mt_lat, Mx=lat.Mx_lat,
+                    n_overrelax=self.n_sweep_overrelax,
+                    n_heatbath=self.n_sweep_heatbath,
+                    block_chains=block)
+            else:
+                from mlmcpathintegral_tpu.ops.pallas_gff import gff_sweep
+                x = gff_sweep(
+                    x, seed, kappa=4.0 + self.action.mu2,
+                    Mt=lat.Mt_lat, Mx=lat.Mx_lat,
+                    n_overrelax=self.n_sweep_overrelax,
+                    n_heatbath=self.n_sweep_heatbath,
+                    block_chains=block)
             accept = jnp.ones(x.shape[:-1], bool)
             return HeatBathState(x=x), accept
         if self._action_sweeps:
