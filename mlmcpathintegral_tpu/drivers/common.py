@@ -47,23 +47,26 @@ def make_sampler_factory(name: str, config, cond_factory=None,
     if name == "HMC":
         sec = Section(config, "hmc",
                       defaults={"nt": 100, "dt": 0.1, "n_rep": 1,
-                                "n_burnin": 100})
+                                "n_burnin": 100, "use_pallas": False})
         return lambda action: HMCSampler(
             action, nt=sec.get_int("nt", positive=True),
             dt=sec.get_float("dt", positive=True),
             n_rep=sec.get_int("n_rep", positive=True),
-            n_burnin=sec.get_int("n_burnin", positive=True))
+            n_burnin=sec.get_int("n_burnin", positive=True),
+            use_pallas=sec.get_bool("use_pallas"))
     if name == "heatbath":
         sec = Section(config, "heatbath",
                       defaults={"n_sweep_heatbath": 1,
                                 "n_sweep_overrelax": 1,
-                                "n_burnin": 100, "random_order": True})
+                                "n_burnin": 100, "random_order": True,
+                                "use_pallas": False})
         return lambda action: OverrelaxedHeatBathSampler(
             action,
             n_sweep_heatbath=sec.get_int("n_sweep_heatbath", positive=True),
             n_sweep_overrelax=sec.get_int("n_sweep_overrelax",
                                           positive=True),
-            n_burnin=sec.get_int("n_burnin", positive=True))
+            n_burnin=sec.get_int("n_burnin", positive=True),
+            use_pallas=sec.get_bool("use_pallas"))
     if name == "cluster":
         sec = Section(config, "clusteralgorithm",
                       defaults={"n_burnin": 100, "n_updates": 10})
