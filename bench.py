@@ -143,65 +143,10 @@ def bench_harmonic():
 def bench_schwinger_pallas():
     """The same chain as bench_schwinger driven by the fused Pallas sweep
     (ops/pallas_schwinger.py) — one HBM round trip per draw."""
-    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
-    from mlmcpathintegral_tpu.models.qft.schwinger import (
-        QuenchedSchwingerAction,
-    )
-    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
-    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
-    from mlmcpathintegral_tpu.utils import statistics as stats_mod
-    from mlmcpathintegral_tpu.utils.statistics import Statistics
-
-    Mt, Mx, BETA, C = 8, 8, 4.0, 4096
-    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
-    action = QuenchedSchwingerAction(lat, beta=BETA)
-    sampler = OverrelaxedHeatBathSampler(action, 1, 1, n_burnin=100,
-                                         use_pallas=True)
-    qoi = qoi_2d_susceptibility(action)
-    stats = Statistics("chit", 40)
-    key = jax.random.PRNGKey(1)
-    k_prep, k_run = jax.random.split(key)
-    sstate = sampler.prepare(k_prep, C, jnp.float32)
-    STEPS = 32
-
-    @jax.jit
-    def chunk(key, sstate, stats_state):
-        def body(carry, k):
-            ss, st = carry
-            ss, _ = sampler.draw(k, ss)
-            st = stats_mod.record(st, qoi(ss.x))
-            return (ss, st), None
-        keys = jax.random.split(key, STEPS)
-        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
-        return ss, st
-
-    stats_state = stats.init(C, jnp.float32)
-    k_run, sub = jax.random.split(k_run)
-    sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
-    jax.block_until_ready(stats_state)
-    stats_state = stats_mod.soft_reset(stats_state)
-    n_chunks = 8
-    t0 = time.monotonic()
-    for _ in range(n_chunks):
-        k_run, sub = jax.random.split(k_run)
-        sstate, stats_state = chunk(sub, sstate, stats_state)
-    jax.block_until_ready(stats_state)
-    wall = time.monotonic() - t0
-    n_samples = n_chunks * STEPS * C
-    tau = stats.tau_int(stats_state)
-    eff = n_samples / wall / tau
-    return {
-        "bench": "schwinger_heatbath_pallas", "Mt": Mt, "Mx": Mx,
-        "beta": BETA, "n_chains": C,
-        "samples_per_sec": round(n_samples / wall, 1),
-        "tau_int": round(tau, 3),
-        "avg_chit": round(stats.average(stats_state), 5),
-        "oracle_chit": round(action.chit_exact(), 5),
-        "eff_samples_per_sec": round(eff, 1),
-    }
+    return bench_schwinger(use_pallas=True)
 
 
-def bench_schwinger():
+def bench_schwinger(use_pallas: bool = False):
     from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
     from mlmcpathintegral_tpu.models.qft.schwinger import (
         QuenchedSchwingerAction,
@@ -216,7 +161,8 @@ def bench_schwinger():
     lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
     action = QuenchedSchwingerAction(lat, beta=BETA)
     sampler = OverrelaxedHeatBathSampler(action, n_sweep_heatbath=1,
-                                         n_sweep_overrelax=1, n_burnin=100)
+                                         n_sweep_overrelax=1, n_burnin=100,
+                                         use_pallas=use_pallas)
     qoi = qoi_2d_susceptibility(action)
     stats = Statistics("chit", 40)
 
@@ -256,7 +202,9 @@ def bench_schwinger():
     vs = (eff / (base["eff_samples_per_sec"] * _ncores())
           if base else None)
     return {
-        "bench": "schwinger_heatbath", "Mt": Mt, "Mx": Mx, "beta": BETA,
+        "bench": ("schwinger_heatbath_pallas" if use_pallas
+                  else "schwinger_heatbath"),
+        "Mt": Mt, "Mx": Mx, "beta": BETA,
         "n_chains": C,
         "samples_per_sec": round(n_samples / wall, 1),
         "tau_int": round(tau, 3),

@@ -203,6 +203,7 @@ class MonteCarloMultiLevel:
                                     - self.timings["prepare_s"])
 
         # measure per-sample cost of each level kernel (warm from burn-in)
+        t_cost0 = time.monotonic()
         self.cost_per_sample = []
         for ell in range(L):
             c = carry_L if ell == L - 1 else carries[ell]
@@ -216,6 +217,8 @@ class MonteCarloMultiLevel:
                 carry_L = c
             else:
                 carries[ell] = c
+
+        self.timings["cost_measure_s"] = time.monotonic() - t_cost0
 
         # adaptive loop (montecarlomultilevel.cc:113-169)
         two_eps_inv2 = 2.0 / (self.epsilon * self.epsilon)
@@ -267,7 +270,8 @@ class MonteCarloMultiLevel:
         self.elapsed_s = time.monotonic() - t_start
         self.timings["sampling_s"] = (self.elapsed_s
                                       - self.timings["prepare_s"]
-                                      - self.timings["burnin_s"])
+                                      - self.timings["burnin_s"]
+                                      - self.timings["cost_measure_s"])
 
         stats = []
         for ell in range(L):

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mlmcpathintegral_tpu.ops.pallas_rng import CounterRng, element_ids
+from mlmcpathintegral_tpu.ops.pallas_rng import (
+    CounterRng, check_element_capacity, element_ids,
+)
 
 
 def _nbsum(phi, Mt):
@@ -50,7 +52,8 @@ def _sweep_kernel(seed_ref, phi_ref, out_ref, *, kappa, Mt,
     phi = phi_ref[:]
     sigma = 1.0 / math.sqrt(kappa)
     elem = element_ids(phi.shape, block_chains, pl.program_id(0))
-    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem)
+    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem,
+                     seed_ref[1].astype(jnp.uint32))
 
     for _ in range(n_overrelax):
         for colour in (0, 1):
@@ -71,14 +74,19 @@ def gff_sweep(phi, seed, *, kappa, Mt, Mx, n_overrelax=0, n_heatbath=1,
     """Fused GFF sweeps on all chains.
 
     phi: [C, Mx*Mt] flat fields (vertex layout ell = Mt*j + i);
-    seed: int32 scalar.  Returns the swept phi.
+    seed: int32 scalar or (2,)-vector (two words for production-length
+    chains, see pallas_rng.CounterRng).  Returns the swept phi.
     """
     C = phi.shape[0]
     if C % block_chains:
         raise ValueError(f"n_chains {C} must be a multiple of "
                          f"block_chains {block_chains}")
+    check_element_capacity(Mx * Mt, C)
     g = phi.reshape(C, Mx, Mt).transpose(1, 2, 0)   # [Mx, Mt, C]
-    seed_arr = jnp.asarray([seed], jnp.int32)
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if seed_arr.shape[0] == 1:
+        seed_arr = jnp.concatenate([seed_arr,
+                                    jnp.zeros((1,), jnp.int32)])
     kernel = functools.partial(
         _sweep_kernel, kappa=float(kappa), Mt=int(Mt),
         n_overrelax=int(n_overrelax), n_heatbath=int(n_heatbath),

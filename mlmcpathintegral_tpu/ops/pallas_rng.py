@@ -35,11 +35,19 @@ def fmix32(h):
 
 
 class CounterRng:
-    """Per-element counter-based RNG (see module docstring)."""
+    """Per-element counter-based RNG (see module docstring).
 
-    def __init__(self, seed_u32, elem_id):
+    ``seed2`` extends the per-step entropy to 64 bits: with a single
+    32-bit seed per draw, a production-length chain of N draws replays a
+    full per-step noise stream with probability ~ N^2/2^33 (birthday
+    collisions at N ~ 1e5); the pair collides at ~ N^2/2^65."""
+
+    def __init__(self, seed_u32, elem_id, seed2_u32=None):
         self.seed = seed_u32
-        self.base = fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
+        base = fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
+        if seed2_u32 is not None:
+            base = fmix32(base + seed2_u32 * jnp.uint32(0x27D4EB2F))
+        self.base = base
         self.ctr = 0
 
     def bits(self):
@@ -59,6 +67,20 @@ class CounterRng:
         u1 = self.uniform(dtype)
         u2 = self.uniform(dtype)
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
+
+
+MAX_SITES = 1 << 12      # site ids share uint32 with 2^20 chain lanes
+MAX_CHAINS = 1 << 20
+
+
+def check_element_capacity(n_sites: int, n_chains: int) -> None:
+    """Reject configurations whose (site, chain) ids would wrap uint32 —
+    a silent wrap would hand identical noise streams to distinct sites."""
+    if n_sites > MAX_SITES or n_chains > MAX_CHAINS:
+        raise ValueError(
+            f"counter RNG supports up to {MAX_SITES} sites and "
+            f"{MAX_CHAINS} chains per kernel (got {n_sites} sites, "
+            f"{n_chains} chains); larger lattices need a wider id scheme")
 
 
 def element_ids(shape, block_chains, program_id, chain_axis=-1):

@@ -67,7 +67,9 @@ def _staples(T, X, mu, Mt):
     return tp, tm
 
 
-from mlmcpathintegral_tpu.ops.pallas_rng import CounterRng, element_ids
+from mlmcpathintegral_tpu.ops.pallas_rng import (
+    CounterRng, check_element_capacity, element_ids,
+)
 
 
 def _parity_mask(shape, axis, parity):
@@ -119,7 +121,8 @@ def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
 
     # unique element id per (j, i, global chain) lane
     elem = element_ids(T.shape, block_chains, pl.program_id(0))
-    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem)
+    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem,
+                     seed_ref[1].astype(jnp.uint32))
 
     def overrelax(cur, tp, tm):
         return _mod_2pi(tp + tm - cur)
@@ -146,15 +149,21 @@ def schwinger_sweep(theta, seed, *, beta, Mt, Mx, n_overrelax=1,
     """One fused overrelax+heat-bath step on all chains.
 
     theta: [C, Mx*Mt*2] flat link angles (the action's state layout);
-    seed: int32 scalar (fold the step counter in).  Returns the new theta.
+    seed: int32 scalar or (2,)-vector — per-step randomness (pass two
+    words for production-length chains, see pallas_rng.CounterRng).
+    Returns the new theta.
     """
     C = theta.shape[0]
     if C % block_chains:
         raise ValueError(f"n_chains {C} must be a multiple of "
                          f"block_chains {block_chains}")
+    check_element_capacity(Mx * Mt, C)
     # [C, Mx, Mt, 2] -> [2, Mx, Mt, C]: lanes = chains, sublanes = t-axis
     g = theta.reshape(C, Mx, Mt, 2).transpose(3, 1, 2, 0)
-    seed_arr = jnp.asarray([seed], jnp.int32)
+    seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if seed_arr.shape[0] == 1:
+        seed_arr = jnp.concatenate([seed_arr,
+                                    jnp.zeros((1,), jnp.int32)])
 
     kernel = functools.partial(
         _sweep_kernel, beta=float(beta), Mt=int(Mt),

@@ -99,9 +99,16 @@ class OverrelaxedHeatBathSampler(Sampler):
         x = state.x
         if self.use_pallas:
             lat = self.action.lattice
-            seed = jax.random.randint(key, (), -2**31, 2**31 - 1,
+            # two 32-bit words of per-step entropy (see pallas_rng)
+            seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
                                       dtype=jnp.int32)
-            block = 1024                 # largest power-of-two divisor
+            # block size: largest power-of-two divisor of n_chains, capped
+            # so the per-block state (ndof * block floats) stays well
+            # inside VMEM alongside the kernel's temporaries
+            ndof = x.shape[-1]
+            block = 1024
+            while block * ndof > (1 << 19) and block > 8:
+                block //= 2
             while x.shape[0] % block:
                 block //= 2
             if self._pallas_kind == "schwinger":

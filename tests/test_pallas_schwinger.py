@@ -51,3 +51,14 @@ def test_heatbath_chain_matches_oracle():
     est, err = vals.mean(), vals.std() / np.sqrt(len(vals) / (2 * 25.0))
     oracle = act.chit_exact()
     assert abs(est - oracle) < 4 * err, (est, err, oracle)
+
+
+def test_element_capacity_guard():
+    """Lattices whose (site, chain) ids would wrap the 32-bit RNG stream
+    space must be rejected, not silently correlated."""
+    import pytest
+
+    theta = jnp.zeros((128, 128 * 64 * 2), jnp.float32)
+    with pytest.raises(ValueError, match="counter RNG supports"):
+        schwinger_sweep(theta, 0, beta=1.0, Mt=128, Mx=64,
+                        block_chains=128, interpret=True)
