@@ -54,3 +54,17 @@ def test_heatbath_chain_matches_phi_squared():
     err = vals.std() / np.sqrt(len(vals) / (2 * 5.0))   # tau <~ 5
     oracle = act.phi_squared_analytical()
     assert abs(est - oracle) < 4 * err, (est, err, oracle)
+
+
+def test_sampler_pallas_gating():
+    """use_pallas must be accepted for the plain GFF and rejected for the
+    Gibbs-smoothed variant and non-sweep actions."""
+    import pytest
+
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+
+    lat = Lattice2D(8, 8, CoarseningType.BOTH)
+    OverrelaxedHeatBathSampler(GFFAction(lat, mass=1.0), use_pallas=True)
+    with pytest.raises(ValueError, match="use_pallas"):
+        OverrelaxedHeatBathSampler(
+            GFFAction(lat, mass=1.0, n_gibbs_smooth=2), use_pallas=True)
