@@ -54,7 +54,9 @@ _BACKEND = _setup_backend()
 try:
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parent / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # the MLMC prepare phase is ~150 small programs of 0.1-3s each (total
+    # ~60s on the chip); a 1s threshold would leave them all uncached
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 except Exception:
     pass
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parent.parent / ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
 
 
 def probe_schwinger(C):
