@@ -143,9 +143,73 @@ def bench_harmonic():
 
 
 def bench_schwinger_pallas():
-    """The same chain as bench_schwinger driven by the fused Pallas sweep
-    (ops/pallas_schwinger.py) — one HBM round trip per draw."""
-    return bench_schwinger(use_pallas=True)
+    """The same chain as bench_schwinger driven by the multi-step fused
+    Pallas kernel (ops/pallas_schwinger.py::schwinger_sweep_chain): the
+    link field stays in VMEM across all STEPS draws of a chunk and only
+    the per-step topological sums reach HBM."""
+    import numpy as np
+
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    Mt, Mx, BETA, C = 8, 8, 4.0, 4096
+    dtype = jnp.float32
+    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
+    action = QuenchedSchwingerAction(lat, beta=BETA)
+    sampler = OverrelaxedHeatBathSampler(action, n_sweep_heatbath=1,
+                                         n_sweep_overrelax=1, n_burnin=100,
+                                         use_pallas=True)
+    stats = Statistics("chit", 40)
+    FOUR_PI2_INV = 1.0 / (4.0 * np.pi ** 2)
+
+    key = jax.random.PRNGKey(1)
+    k_prep, k_run = jax.random.split(key)
+    sstate = sampler.prepare(k_prep, C, dtype)
+    STEPS = 256
+
+    @jax.jit
+    def chunk(key, sstate, stats_state):
+        sstate, qsum = sampler.draw_chain(key, sstate, STEPS)
+        y = FOUR_PI2_INV * qsum * qsum          # [STEPS, C] QoI trace
+        stats_state = jax.lax.scan(
+            lambda st, yi: (stats_mod.record(st, yi), None),
+            stats_state, y)[0]
+        return sstate, stats_state
+
+    stats_state = stats.init(C, dtype)
+    k_run, sub = jax.random.split(k_run)
+    sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
+    jax.block_until_ready(stats_state)
+    stats_state = stats_mod.soft_reset(stats_state)
+
+    n_chunks = 8
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        k_run, sub = jax.random.split(k_run)
+        sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n_samples = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    eff = n_samples / wall / tau
+    base = _load_baseline("baseline_schwinger_cpu.json")
+    vs = (eff / (base["eff_samples_per_sec"] * _ncores())
+          if base else None)
+    return {
+        "bench": "schwinger_heatbath_pallas", "Mt": Mt, "Mx": Mx,
+        "beta": BETA, "n_chains": C, "steps_per_launch": STEPS,
+        "samples_per_sec": round(n_samples / wall, 1),
+        "tau_int": round(tau, 3),
+        "avg_chit": round(stats.average(stats_state), 5),
+        "oracle_chit": round(action.chit_exact(), 5),
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(vs, 2) if vs else None,
+    }
 
 
 def bench_schwinger(use_pallas: bool = False):

@@ -40,13 +40,20 @@ class CounterRng:
     ``seed2`` extends the per-step entropy to 64 bits: with a single
     32-bit seed per draw, a production-length chain of N draws replays a
     full per-step noise stream with probability ~ N^2/2^33 (birthday
-    collisions at N ~ 1e5); the pair collides at ~ N^2/2^65."""
+    collisions at N ~ 1e5); the pair collides at ~ N^2/2^65.
 
-    def __init__(self, seed_u32, elem_id, seed2_u32=None):
+    ``step`` (optional, may be a dynamic uint32) folds a per-step index
+    into the stream so a multi-step fused kernel draws an independent
+    stream per step from ONE (seed, seed2) pair — used by the chained
+    sweeps (schwinger_sweep_chain)."""
+
+    def __init__(self, seed_u32, elem_id, seed2_u32=None, step=None):
         self.seed = seed_u32
         base = fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
         if seed2_u32 is not None:
             base = fmix32(base + seed2_u32 * jnp.uint32(0x27D4EB2F))
+        if step is not None:
+            base = fmix32(base + jnp.uint32(step) * jnp.uint32(0x165667B1))
         self.base = base
         self.ctr = 0
 

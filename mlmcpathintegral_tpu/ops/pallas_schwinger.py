@@ -112,17 +112,10 @@ def _group_update(T, X, mu, parity, new_of, Mt):
     return T, jnp.where(mask, new, X)
 
 
-def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
-                  n_overrelax, n_heatbath, k_rej, block_chains):
-    dtype = theta_ref.dtype
-    T = theta_ref[0]
-    X = theta_ref[1]
+def _one_step(T, X, rng, *, beta, Mt, n_overrelax, n_heatbath, k_rej,
+              dtype):
+    """One full draw: n_overrelax + n_heatbath coloured sweeps."""
     groups = [(0, 0), (0, 1), (1, 0), (1, 1)]
-
-    # unique element id per (j, i, global chain) lane
-    elem = element_ids(T.shape, block_chains, pl.program_id(0))
-    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem,
-                     seed_ref[1].astype(jnp.uint32))
 
     def overrelax(cur, tp, tm):
         return _mod_2pi(tp + tm - cur)
@@ -136,39 +129,94 @@ def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
     for _ in range(n_heatbath):
         for mu, parity in groups:
             T, X = _group_update(T, X, mu, parity, heatbath, Mt)
+    return T, X
+
+
+def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
+                  n_overrelax, n_heatbath, k_rej, block_chains,
+                  step_offset=0):
+    dtype = theta_ref.dtype
+    T = theta_ref[0]
+    X = theta_ref[1]
+
+    # unique element id per (j, i, global chain) lane
+    elem = element_ids(T.shape, block_chains, pl.program_id(0))
+    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem,
+                     seed_ref[1].astype(jnp.uint32),
+                     step=jnp.uint32(step_offset))
+    T, X = _one_step(T, X, rng, beta=beta, Mt=Mt, n_overrelax=n_overrelax,
+                     n_heatbath=n_heatbath, k_rej=k_rej, dtype=dtype)
     out_ref[0] = T
     out_ref[1] = X
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "beta", "Mt", "Mx", "n_overrelax", "n_heatbath", "k_rej",
-    "block_chains", "interpret"))
-def schwinger_sweep(theta, seed, *, beta, Mt, Mx, n_overrelax=1,
-                    n_heatbath=1, k_rej=6, block_chains=128,
-                    interpret=False):
-    """One fused overrelax+heat-bath step on all chains.
+def _chain_kernel(seed_ref, theta_ref, out_ref, qsum_ref, *, beta, Mt,
+                  n_overrelax, n_heatbath, k_rej, block_chains, n_steps):
+    """n_steps consecutive draws with the link field resident in VMEM;
+    per step only the topological sum Q = sum_P mod_2pi(theta_P) (the
+    susceptibility QoI's reduction, qoi2dsusceptibility.cc:6-28) leaves
+    the core — one HBM round trip of theta per n_steps draws instead of
+    per draw."""
+    dtype = theta_ref.dtype
+    elem = element_ids(theta_ref.shape[1:], block_chains, pl.program_id(0))
+    seed1 = seed_ref[0].astype(jnp.uint32)
+    seed2 = seed_ref[1].astype(jnp.uint32)
 
-    theta: [C, Mx*Mt*2] flat link angles (the action's state layout);
-    seed: int32 scalar or (2,)-vector — per-step randomness (pass two
-    words for production-length chains, see pallas_rng.CounterRng).
-    Returns the new theta.
-    """
-    C = theta.shape[0]
+    def body(s, carry):
+        T, X = carry
+        rng = CounterRng(seed1, elem, seed2, step=s)
+        T, X = _one_step(T, X, rng, beta=beta, Mt=Mt,
+                         n_overrelax=n_overrelax, n_heatbath=n_heatbath,
+                         k_rej=k_rej, dtype=dtype)
+        plaq = _mod_2pi(T + _sh(X, 1, 0, Mt) - _sh(T, 0, 1, Mt) - X)
+        qsum_ref[pl.ds(s, 1)] = jnp.sum(plaq, axis=(0, 1))[None]
+        return T, X
+
+    T, X = jax.lax.fori_loop(0, n_steps, body,
+                             (theta_ref[0], theta_ref[1]))
+    out_ref[0] = T
+    out_ref[1] = X
+
+
+def _to_grid(theta, C, Mt, Mx, block_chains):
     if C % block_chains:
         raise ValueError(f"n_chains {C} must be a multiple of "
                          f"block_chains {block_chains}")
     check_element_capacity(Mx * Mt, C)
     # [C, Mx, Mt, 2] -> [2, Mx, Mt, C]: lanes = chains, sublanes = t-axis
-    g = theta.reshape(C, Mx, Mt, 2).transpose(3, 1, 2, 0)
+    return theta.reshape(C, Mx, Mt, 2).transpose(3, 1, 2, 0)
+
+
+def _seed_pair(seed):
     seed_arr = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
     if seed_arr.shape[0] == 1:
         seed_arr = jnp.concatenate([seed_arr,
                                     jnp.zeros((1,), jnp.int32)])
+    return seed_arr
 
+
+@functools.partial(jax.jit, static_argnames=(
+    "beta", "Mt", "Mx", "n_overrelax", "n_heatbath", "k_rej",
+    "block_chains", "step_offset", "interpret"))
+def schwinger_sweep(theta, seed, *, beta, Mt, Mx, n_overrelax=1,
+                    n_heatbath=1, k_rej=6, block_chains=128,
+                    step_offset=0, interpret=False):
+    """One fused overrelax+heat-bath step on all chains.
+
+    theta: [C, Mx*Mt*2] flat link angles (the action's state layout);
+    seed: int32 scalar or (2,)-vector — per-step randomness (pass two
+    words for production-length chains, see pallas_rng.CounterRng).
+    ``step_offset`` selects the per-step stream of the chained kernel:
+    schwinger_sweep_chain(n_steps=N) bit-matches N calls with
+    step_offset=0..N-1.  Returns the new theta.
+    """
+    C = theta.shape[0]
+    g = _to_grid(theta, C, Mt, Mx, block_chains)
     kernel = functools.partial(
         _sweep_kernel, beta=float(beta), Mt=int(Mt),
         n_overrelax=int(n_overrelax), n_heatbath=int(n_heatbath),
-        k_rej=int(k_rej), block_chains=int(block_chains))
+        k_rej=int(k_rej), block_chains=int(block_chains),
+        step_offset=int(step_offset))
     out = pl.pallas_call(
         kernel,
         grid=(C // block_chains,),
@@ -182,5 +230,52 @@ def schwinger_sweep(theta, seed, *, beta, Mt, Mx, n_overrelax=1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, Mx, Mt, C), theta.dtype),
         interpret=interpret,
-    )(seed_arr, g)
+    )(_seed_pair(seed), g)
     return out.transpose(3, 1, 2, 0).reshape(C, Mx * Mt * 2)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "beta", "Mt", "Mx", "n_steps", "n_overrelax", "n_heatbath", "k_rej",
+    "block_chains", "interpret"))
+def schwinger_sweep_chain(theta, seed, *, beta, Mt, Mx, n_steps,
+                          n_overrelax=1, n_heatbath=1, k_rej=6,
+                          block_chains=128, interpret=False):
+    """``n_steps`` consecutive fused draws in ONE kernel launch.
+
+    The link field stays in VMEM across all steps; per step only the
+    [C]-vector topological sum Q = sum_P mod_2pi(theta_P) is written out,
+    so HBM traffic per draw drops from 2 field round trips to ~C floats.
+    Returns (theta', qsum) with qsum of shape [n_steps, C] — the
+    susceptibility QoI is qsum^2/(4 pi^2) (qoi.qoi_2d_susceptibility).
+
+    Bit-compatible decomposition: equals n_steps schwinger_sweep calls
+    with the same seed pair and step_offset = 0..n_steps-1.
+    """
+    C = theta.shape[0]
+    g = _to_grid(theta, C, Mt, Mx, block_chains)
+    kernel = functools.partial(
+        _chain_kernel, beta=float(beta), Mt=int(Mt),
+        n_overrelax=int(n_overrelax), n_heatbath=int(n_heatbath),
+        k_rej=int(k_rej), block_chains=int(block_chains),
+        n_steps=int(n_steps))
+    out, qsum = pl.pallas_call(
+        kernel,
+        grid=(C // block_chains,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, Mx, Mt, block_chains),
+                         lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, Mx, Mt, block_chains),
+                         lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_steps, block_chains), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, Mx, Mt, C), theta.dtype),
+            jax.ShapeDtypeStruct((n_steps, C), theta.dtype),
+        ],
+        interpret=interpret,
+    )(_seed_pair(seed), g)
+    return out.transpose(3, 1, 2, 0).reshape(C, Mx * Mt * 2), qsum

@@ -102,15 +102,7 @@ class OverrelaxedHeatBathSampler(Sampler):
             # two 32-bit words of per-step entropy (see pallas_rng)
             seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
                                       dtype=jnp.int32)
-            # block size: largest power-of-two divisor of n_chains, capped
-            # so the per-block state (ndof * block floats) stays well
-            # inside VMEM alongside the kernel's temporaries
-            ndof = x.shape[-1]
-            block = 1024
-            while block * ndof > (1 << 19) and block > 8:
-                block //= 2
-            while x.shape[0] % block:
-                block //= 2
+            block = self._pallas_block(x)
             if self._pallas_kind == "schwinger":
                 from mlmcpathintegral_tpu.ops.pallas_schwinger import (
                     schwinger_sweep,
@@ -147,6 +139,52 @@ class OverrelaxedHeatBathSampler(Sampler):
                 x = self._half_sweep_heatbath(k1, x, 1)
         accept = jnp.ones(x.shape[:-1], bool)   # heat bath always accepts
         return HeatBathState(x=x), accept
+
+    def _pallas_block(self, x):
+        """Largest power-of-two chain block whose per-block state stays
+        well inside VMEM alongside the kernel's temporaries."""
+        ndof = x.shape[-1]
+        block = 1024
+        while block * ndof > (1 << 19) and block > 8:
+            block //= 2
+        while x.shape[0] % block:
+            block //= 2
+        return block
+
+    def draw_chain(self, key, state: HeatBathState, n_steps: int):
+        """``n_steps`` consecutive draws, returning ``(state', qsum)``
+        with qsum[s, c] = sum_P mod_2pi(theta_P) after step s — the
+        topological sum whose square / 4 pi^2 is the susceptibility QoI
+        (qoi.qoi_2d_susceptibility).  On the Pallas Schwinger path this
+        is ONE fused kernel launch: the link field stays in VMEM across
+        all steps and only the [n_steps, C] QoI trace reaches HBM.
+        Elsewhere it falls back to a scan of draw() (gauge actions only).
+        """
+        from mlmcpathintegral_tpu.utils.special import mod_2pi
+        x = state.x
+        if self.use_pallas and self._pallas_kind == "schwinger":
+            from mlmcpathintegral_tpu.ops.pallas_schwinger import (
+                schwinger_sweep_chain,
+            )
+            lat = self.action.lattice
+            seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
+                                      dtype=jnp.int32)
+            x, qsum = schwinger_sweep_chain(
+                x, seed, beta=self.action.beta,
+                Mt=lat.Mt_lat, Mx=lat.Mx_lat, n_steps=n_steps,
+                n_overrelax=self.n_sweep_overrelax,
+                n_heatbath=self.n_sweep_heatbath,
+                block_chains=self._pallas_block(x))
+            return HeatBathState(x=x), qsum
+
+        def body(ss, k):
+            ss, _ = self.draw(k, ss)
+            q = jnp.sum(mod_2pi(self.action.plaquette_angles(ss.x)),
+                        axis=(-2, -1))
+            return ss, q
+        state, qsum = jax.lax.scan(body, state,
+                                   jax.random.split(key, n_steps))
+        return state, qsum
 
     def prepare(self, key, n_chains, dtype=None):
         return super().prepare(key, n_chains, dtype, self.n_burnin)

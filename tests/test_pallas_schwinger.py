@@ -53,6 +53,57 @@ def test_heatbath_chain_matches_oracle():
     assert abs(est - oracle) < 4 * err, (est, err, oracle)
 
 
+def test_chain_kernel_matches_stepwise():
+    """The multi-step fused kernel (links resident in VMEM, one launch)
+    must bit-match n_steps single-step launches with the same seed pair
+    and step_offset = 0..n-1, and its QoI trace must equal the
+    susceptibility reduction of the intermediate states."""
+    from mlmcpathintegral_tpu.ops.pallas_schwinger import (
+        schwinger_sweep_chain,
+    )
+    from mlmcpathintegral_tpu.utils.special import mod_2pi
+
+    Mt, Mx, BETA, C, N = 4, 4, 2.0, 128, 3
+    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(lat, beta=BETA)
+    theta0 = jax.random.uniform(jax.random.PRNGKey(3), (C, lat.nedges),
+                                jnp.float32, -np.pi, np.pi)
+    seed = jnp.asarray([17, -5], jnp.int32)
+
+    theta_c, qsum = schwinger_sweep_chain(
+        theta0, seed, beta=BETA, Mt=Mt, Mx=Mx, n_steps=N,
+        block_chains=C, interpret=True)
+
+    theta = theta0
+    for s in range(N):
+        theta = schwinger_sweep(theta, seed, beta=BETA, Mt=Mt, Mx=Mx,
+                                block_chains=C, step_offset=s,
+                                interpret=True)
+        q = jnp.sum(mod_2pi(act.plaquette_angles(theta)), axis=(-2, -1))
+        np.testing.assert_allclose(np.asarray(qsum[s]), np.asarray(q),
+                                   rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(theta_c), np.asarray(theta))
+
+
+def test_draw_chain_sampler_oracle():
+    """OverrelaxedHeatBathSampler.draw_chain fallback path (scan of
+    draw) reproduces the analytic susceptibility from its QoI trace."""
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+
+    Mt, Mx, BETA, C = 4, 4, 2.0, 512
+    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(lat, beta=BETA)
+    smp = OverrelaxedHeatBathSampler(act, n_burnin=50)
+    key = jax.random.PRNGKey(4)
+    st = smp.prepare(key, C, jnp.float32)
+    st, qsum = smp.draw_chain(jax.random.fold_in(key, 1), st, 200)
+    y = np.asarray(qsum) ** 2 / (4 * np.pi ** 2)
+    est = y.mean()
+    err = y.std() / np.sqrt(y.size / (2 * 25.0))
+    oracle = act.chit_exact()
+    assert abs(est - oracle) < 4 * err, (est, err, oracle)
+
+
 def test_element_capacity_guard():
     """Lattices whose (site, chain) ids would wrap the 32-bit RNG stream
     space must be rejected, not silently correlated."""
