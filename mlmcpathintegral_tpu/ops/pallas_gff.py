@@ -51,8 +51,8 @@ def _sweep_kernel(seed_ref, phi_ref, out_ref, *, kappa, Mt,
     dtype = phi_ref.dtype
     phi = phi_ref[:]
     sigma = 1.0 / math.sqrt(kappa)
-    elem = element_ids(phi.shape, block_chains, pl.program_id(0))
-    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem,
+    site, chain = element_ids(phi.shape, block_chains, pl.program_id(0))
+    rng = CounterRng(seed_ref[0].astype(jnp.uint32), site, chain,
                      seed_ref[1].astype(jnp.uint32))
 
     for _ in range(n_overrelax):

@@ -2,16 +2,23 @@
 
 Mosaic's hardware PRNG (`pltpu.prng_random_bits`) has no interpret-mode
 lowering, so the fused samplers use a counter-based hash generator in
-plain vector ops instead: bits = fmix32(fmix32(elem_id * phi ^ seed) +
-ctr * c) with the murmur3 finalizer (full avalanche).  The SAME bit
-stream therefore runs under interpret mode on CPU (tests) and compiled on
-TPU (bench), and draws are reproducible given (seed, element id, counter).
+plain vector ops with the murmur3 finalizer (full avalanche).  The SAME
+bit stream therefore runs under interpret mode on CPU (tests) and
+compiled on TPU (bench), and draws are reproducible given
+(seed, site id, chain id, counter).
 
-``seed`` is the dynamic per-step value; ``ctr`` is a static Python
-counter incremented per draw so every uniform in an unrolled sweep uses
-an independent stream.  Element ids must be unique per (site, chain) —
-the kernels build them as site_index * 2^20 + global_chain_index, unique
-for lattices up to 4096 sites and 2^20 chains.
+Two-lane stream separation: each element keys TWO independent 32-bit
+lanes — one from its site index (+ per-step seed and step counter), one
+from its global chain index (+ second seed word) — and every output word
+is the XOR of the two lanes advanced by a shared draw counter:
+
+    bits = fmix32(base_site + ctr*C1) ^ fmix32(base_chain + ctr*C2)
+
+Because fmix32 and odd-constant multiplication are bijections on uint32,
+two elements share a full stream iff BOTH their site lane and their chain
+lane collide, i.e. iff they have the same (site, chain) — exact stream
+distinctness for up to 2^31 sites x 2^31 chains (vs the 4096 x 2^20 cap
+of a single packed 32-bit id).
 """
 
 from __future__ import annotations
@@ -35,7 +42,11 @@ def fmix32(h):
 
 
 class CounterRng:
-    """Per-element counter-based RNG (see module docstring).
+    """Per-element two-lane counter RNG (see module docstring).
+
+    ``site_id``/``chain_id``: uint32 arrays (broadcastable) uniquely
+    identifying the lattice site and the global chain lane of each
+    element — build them with :func:`element_ids`.
 
     ``seed2`` extends the per-step entropy to 64 bits: with a single
     32-bit seed per draw, a production-length chain of N draws replays a
@@ -43,24 +54,28 @@ class CounterRng:
     collisions at N ~ 1e5); the pair collides at ~ N^2/2^65.
 
     ``step`` (optional, may be a dynamic uint32) folds a per-step index
-    into the stream so a multi-step fused kernel draws an independent
+    into the site lane so a multi-step fused kernel draws an independent
     stream per step from ONE (seed, seed2) pair — used by the chained
     sweeps (schwinger_sweep_chain)."""
 
-    def __init__(self, seed_u32, elem_id, seed2_u32=None, step=None):
-        self.seed = seed_u32
-        base = fmix32(elem_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
-        if seed2_u32 is not None:
-            base = fmix32(base + seed2_u32 * jnp.uint32(0x27D4EB2F))
+    def __init__(self, seed_u32, site_id, chain_id, seed2_u32=None,
+                 step=None):
+        base_s = fmix32(site_id * jnp.uint32(0x9E3779B9) ^ seed_u32)
         if step is not None:
-            base = fmix32(base + jnp.uint32(step) * jnp.uint32(0x165667B1))
-        self.base = base
+            base_s = fmix32(base_s + jnp.uint32(step)
+                            * jnp.uint32(0x165667B1))
+        base_c = chain_id * jnp.uint32(0x85EBCA77)
+        if seed2_u32 is not None:
+            base_c = base_c ^ seed2_u32
+        self.base_s = base_s
+        self.base_c = fmix32(base_c)
         self.ctr = 0
 
     def bits(self):
         self.ctr += 1
-        return fmix32(self.base + jnp.uint32(self.ctr) *
-                      jnp.uint32(0xC2B2AE3D))
+        c = jnp.uint32(self.ctr)
+        return (fmix32(self.base_s + c * jnp.uint32(0xC2B2AE3D))
+                ^ fmix32(self.base_c + c * jnp.uint32(0x27D4EB2F)))
 
     def uniform(self, dtype):
         """(0, 1] uniforms.  Mosaic has no uint32->float cast; build a
@@ -76,12 +91,12 @@ class CounterRng:
         return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
 
 
-MAX_SITES = 1 << 12      # site ids share uint32 with 2^20 chain lanes
-MAX_CHAINS = 1 << 20
+MAX_SITES = 1 << 31      # per-lane ids: full uint32 minus a safety bit
+MAX_CHAINS = 1 << 31
 
 
 def check_element_capacity(n_sites: int, n_chains: int) -> None:
-    """Reject configurations whose (site, chain) ids would wrap uint32 —
+    """Reject configurations whose per-lane ids would wrap uint32 —
     a silent wrap would hand identical noise streams to distinct sites."""
     if n_sites > MAX_SITES or n_chains > MAX_CHAINS:
         raise ValueError(
@@ -91,8 +106,9 @@ def check_element_capacity(n_sites: int, n_chains: int) -> None:
 
 
 def element_ids(shape, block_chains, program_id, chain_axis=-1):
-    """Unique uint32 id per (site..., chain) element of ``shape`` where
-    ``chain_axis`` indexes the per-block chain lanes."""
+    """(site_id, chain_id) uint32 arrays of ``shape`` where ``chain_axis``
+    indexes the per-block chain lanes.  site_id enumerates the non-chain
+    axes in row-major order; chain_id is the global chain index."""
     ndim = len(shape)
     chain_axis = chain_axis % ndim
     site = jnp.zeros(shape, jnp.uint32)
@@ -101,6 +117,6 @@ def element_ids(shape, block_chains, program_id, chain_axis=-1):
             continue
         site = site * jnp.uint32(shape[ax]) \
             + jax.lax.broadcasted_iota(jnp.uint32, shape, ax)
-    c_idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, chain_axis)
+    chain = (jax.lax.broadcasted_iota(jnp.uint32, shape, chain_axis)
              + jnp.uint32(block_chains) * program_id.astype(jnp.uint32))
-    return site * jnp.uint32(1 << 20) + c_idx
+    return site, chain

@@ -139,9 +139,9 @@ def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
     T = theta_ref[0]
     X = theta_ref[1]
 
-    # unique element id per (j, i, global chain) lane
-    elem = element_ids(T.shape, block_chains, pl.program_id(0))
-    rng = CounterRng(seed_ref[0].astype(jnp.uint32), elem,
+    # unique (site, chain) lane ids per (j, i, global chain) element
+    site, chain = element_ids(T.shape, block_chains, pl.program_id(0))
+    rng = CounterRng(seed_ref[0].astype(jnp.uint32), site, chain,
                      seed_ref[1].astype(jnp.uint32),
                      step=jnp.uint32(step_offset))
     T, X = _one_step(T, X, rng, beta=beta, Mt=Mt, n_overrelax=n_overrelax,
@@ -158,13 +158,14 @@ def _chain_kernel(seed_ref, theta_ref, out_ref, qsum_ref, *, beta, Mt,
     the core — one HBM round trip of theta per n_steps draws instead of
     per draw."""
     dtype = theta_ref.dtype
-    elem = element_ids(theta_ref.shape[1:], block_chains, pl.program_id(0))
+    site, chain = element_ids(theta_ref.shape[1:], block_chains,
+                              pl.program_id(0))
     seed1 = seed_ref[0].astype(jnp.uint32)
     seed2 = seed_ref[1].astype(jnp.uint32)
 
     def body(s, carry):
         T, X = carry
-        rng = CounterRng(seed1, elem, seed2, step=s)
+        rng = CounterRng(seed1, site, chain, seed2, step=s)
         T, X = _one_step(T, X, rng, beta=beta, Mt=Mt,
                          n_overrelax=n_overrelax, n_heatbath=n_heatbath,
                          k_rej=k_rej, dtype=dtype)

@@ -105,11 +105,46 @@ def test_draw_chain_sampler_oracle():
 
 
 def test_element_capacity_guard():
-    """Lattices whose (site, chain) ids would wrap the 32-bit RNG stream
-    space must be rejected, not silently correlated."""
+    """Only configurations whose per-lane ids would wrap uint32 are
+    rejected; 128x64 (8192 sites — beyond the old 4096-site packed-id
+    cap) is accepted by the two-lane scheme."""
     import pytest
 
-    theta = jnp.zeros((128, 128 * 64 * 2), jnp.float32)
+    from mlmcpathintegral_tpu.ops.pallas_rng import check_element_capacity
+
+    check_element_capacity(128 * 128, 1 << 20)      # fine now
     with pytest.raises(ValueError, match="counter RNG supports"):
-        schwinger_sweep(theta, 0, beta=1.0, Mt=128, Mx=64,
-                        block_chains=128, interpret=True)
+        check_element_capacity(1 << 32, 1)
+    with pytest.raises(ValueError, match="counter RNG supports"):
+        check_element_capacity(1, 1 << 32)
+
+
+def test_rng_stream_distinctness():
+    """Two-lane streams: elements that collided under the old packed
+    32-bit id (site + 2^20*chain mod 2^32) must now produce distinct
+    bit streams; identical (site, chain) must reproduce exactly."""
+    from mlmcpathintegral_tpu.ops.pallas_rng import CounterRng
+
+    # sites beyond the old 4096 cap, chains beyond 2^20, plus aliasing
+    # pairs under the old packing: (site, chain) and (site + 4096, chain)
+    sites = jnp.asarray([0, 1, 4095, 4096, 8191, 16383, 2**20],
+                        jnp.uint32)
+    chains = jnp.asarray([0, 1, 2**20, 2**21, 5, 7, 11], jnp.uint32)
+    seed = jnp.uint32(12345)
+    seed2 = jnp.uint32(777)
+
+    def stream(s, c):
+        rng = CounterRng(seed, s, c, seed2)
+        return np.asarray(jnp.stack([rng.bits() for _ in range(4)]))
+
+    seen = {}
+    for s in np.asarray(sites):
+        for c in np.asarray(chains):
+            key = tuple(stream(jnp.uint32(s), jnp.uint32(c)))
+            assert key not in seen, (s, c, seen[key])
+            seen[key] = (int(s), int(c))
+
+    # reproducibility: same (seed, site, chain) -> same stream
+    a = stream(jnp.uint32(4096), jnp.uint32(3))
+    b = stream(jnp.uint32(4096), jnp.uint32(3))
+    np.testing.assert_array_equal(a, b)
