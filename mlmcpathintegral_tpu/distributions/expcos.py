@@ -47,13 +47,22 @@ class ExpCosDistribution:
         pi = jnp.asarray(math.pi, dtype)
         dx = (x_m - x_p).astype(dtype)
         tau = 2.0 * beta * jnp.abs(jnp.cos(0.5 * dx))
-        sigma = pi * jnp.sqrt(2.0 / tau)
+        # mixed envelope: uniform proposals for small tau, TIGHT Gaussian
+        # (sigma^2 = pi^2/(4 tau); valid since cos x - 1 + 2 x^2/pi^2 <= 0
+        # on [-pi, pi]) otherwise — per-round acceptance >= 0.64 for all
+        # tau, vs ~23% for the reference's sigma^2 = 2 pi^2/tau envelope
+        # (expcosdistribution.hh:50-66)
+        use_uni = tau < 0.45
+        sigma = 0.5 * pi / jnp.sqrt(jnp.maximum(tau, 1e-12))
 
         def propose_accept(k):
-            kn, ku = jax.random.split(k)
-            x = sigma * jax.random.normal(kn, shape, dtype)
+            ks, kn, ku = jax.random.split(k, 3)
+            x_u = jax.random.uniform(ks, shape, dtype, -math.pi, math.pi)
+            x_g = sigma * jax.random.normal(kn, shape, dtype)
+            x = jnp.where(use_uni, x_u, x_g)
             u = jax.random.uniform(ku, shape, dtype)
-            log_ratio = tau * (jnp.cos(x) - 1.0 + FOURPI2_INV * x * x)
+            log_ratio = tau * (jnp.cos(x) - 1.0) + jnp.where(
+                use_uni, 0.0, 2.0 * tau * x * x / (math.pi ** 2))
             ok = jnp.logical_and(
                 jnp.logical_and(-pi <= x, x < pi),
                 jnp.log(u) <= log_ratio)

@@ -77,25 +77,41 @@ def _parity_mask(shape, axis, parity):
     return (idx % 2) == parity
 
 
-def _expcos_draw(rng, cur, tp, tm, beta, k_rej, dtype):
-    """Heat-bath draw from p(x) ~ exp[beta(cos(x-tp)+cos(x-tm))] with a
-    Gaussian-envelope rejection truncated at k_rej rounds; lanes that never
-    accept keep ``cur`` (distributions/expcos.py draw)."""
-    dx = tm - tp
-    tau = 2.0 * beta * jnp.abs(jnp.cos(0.5 * dx))
-    sigma = PI * jnp.sqrt(2.0 / tau)
-    shift = 0.5 * (tp + tm) + jnp.where(jnp.abs(dx) > PI, PI, 0.0)
-
-    x = jnp.zeros_like(cur)
-    acc = jnp.zeros(cur.shape, jnp.bool_)
+def _expcos_rejection(rng, tau, k_rej, dtype):
+    """Draw the centred variable x ~ exp(tau cos x) on [-pi, pi) by a
+    mixed-envelope rejection: uniform proposals for small tau, a TIGHT
+    Gaussian envelope (sigma^2 = pi^2/(4 tau); valid because
+    cos x - 1 + 2 x^2/pi^2 <= 0 on [-pi, pi]) otherwise.  Per-round
+    acceptance >= 0.64 for ALL tau — the reference's looser envelope
+    (sigma^2 = 2 pi^2/tau, expcosdistribution.hh:50-66) accepts only
+    ~23% per round at large tau and ~tau^(1/2) at small tau.
+    Returns (x, accepted_mask)."""
+    use_uni = tau < 0.45
+    sigma = 0.5 * PI / jnp.sqrt(jnp.maximum(tau, 1e-12))
+    x = jnp.zeros_like(tau)
+    acc = jnp.zeros(tau.shape, jnp.bool_)
     for _ in range(k_rej):
-        prop = sigma * rng.normal(dtype)
+        prop_u = PI * (2.0 * rng.uniform(dtype) - 1.0)
+        prop_g = sigma * rng.normal(dtype)
+        prop = jnp.where(use_uni, prop_u, prop_g)
         u = rng.uniform(dtype)
-        log_ratio = tau * (jnp.cos(prop) - 1.0 + FOURPI2_INV * prop * prop)
+        log_ratio = tau * (jnp.cos(prop) - 1.0) + jnp.where(
+            use_uni, 0.0, 2.0 * tau * prop * prop / (PI * PI))
         ok = jnp.logical_and(jnp.logical_and(-PI <= prop, prop < PI),
                              jnp.log(u) <= log_ratio)
         x = jnp.where(jnp.logical_and(ok, ~acc), prop, x)
         acc = jnp.logical_or(acc, ok)
+    return x, acc
+
+
+def _expcos_draw(rng, cur, tp, tm, beta, k_rej, dtype):
+    """Heat-bath draw from p(x) ~ exp[beta(cos(x-tp)+cos(x-tm))], rejection
+    truncated at k_rej rounds; lanes that never accept keep ``cur`` (exact
+    identity-mixture, distributions/rejection.py)."""
+    dx = tm - tp
+    tau = 2.0 * beta * jnp.abs(jnp.cos(0.5 * dx))
+    shift = 0.5 * (tp + tm) + jnp.where(jnp.abs(dx) > PI, PI, 0.0)
+    x, acc = _expcos_rejection(rng, tau, k_rej, dtype)
     out = _mod_2pi(x + shift)
     return jnp.where(acc, out, cur)
 
