@@ -3,18 +3,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Two benchmarks run (BASELINE.md configs 1 and 5's sampler core):
-  * schwinger: overrelaxed heat-bath chain on the 8x8 beta=4 quenched
-    Schwinger model measuring V chi_t — the headline metric
-    (1/tau_int-weighted effective samples/sec/chip)
-  * harmonic: batched HMC on the M=64 harmonic oscillator
+The HEADLINE is the BASELINE.json north star: full multilevel (MLMC)
+Schwinger susceptibility on the 8x8 beta=4 nonperturbative config,
+1/tau_int-weighted effective samples/sec, compared against the REAL
+reference C++ build measured on this host
+(baselines/ref_baselines.json, produced by baselines/run_ref_baselines.py
+from the binaries built by baselines/build_reference.sh).  The reference
+MLMC number is serial by construction — driver_qft aborts the multilevel
+method under MPI (driver_qft.cc:412-416) — so it is NOT core-scaled.
 
-``vs_baseline`` compares the headline against the reference-equivalent C++
-single-chain implementation measured on this host's CPU
-(baselines/baseline_schwinger.cc / baseline_hmc.cc — faithful standalone
-re-implementations of the reference algorithms, since Eigen/GSL are not
-installable here), scaled by the host core count, i.e. the aggregate
-throughput of the MPI reference build on this machine.
+Secondary benchmarks (reported in detail, each with its own real-C++
+vs_baseline, core-scaled where the reference parallelises):
+  * schwinger heat-bath chain (XLA and fused-Pallas variants)
+  * batched HMC on the M=64 harmonic oscillator
 """
 
 import json
@@ -77,6 +78,20 @@ def _ncores():
     return int(f.read_text()) if f.exists() else 1
 
 
+def _ref_eff(run: str, core_scaled: bool):
+    """Effective-samples/s of one real-reference run
+    (baselines/ref_baselines.json), optionally scaled by the host core
+    count (the aggregate throughput of an MPI run on this machine —
+    valid only for methods the reference parallelises)."""
+    data = _load_baseline("ref_baselines.json")
+    if not data:
+        return None
+    eff = data.get("runs", {}).get(run, {}).get("eff_samples_per_sec")
+    if eff is None:
+        return None
+    return eff * (_ncores() if core_scaled else 1)
+
+
 def bench_harmonic():
     from mlmcpathintegral_tpu.lattice import Lattice1D
     from mlmcpathintegral_tpu.models import HarmonicOscillatorAction
@@ -128,9 +143,8 @@ def bench_harmonic():
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
     eff = n_samples / wall / tau
-    base = _load_baseline("baseline_cpu.json")
-    vs = (eff / (base["eff_samples_per_sec"] * _ncores())
-          if base else None)
+    base = _ref_eff("harmonic_hmc", core_scaled=True)
+    vs = eff / base if base else None
     return {
         "bench": "hmc_harmonic", "M": M, "n_chains": C, "nt": NT,
         "samples_per_sec": round(n_samples / wall, 1),
@@ -197,9 +211,8 @@ def bench_schwinger_pallas():
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
     eff = n_samples / wall / tau
-    base = _load_baseline("baseline_schwinger_cpu.json")
-    vs = (eff / (base["eff_samples_per_sec"] * _ncores())
-          if base else None)
+    base = _ref_eff("schwinger_heatbath", core_scaled=True)
+    vs = eff / base if base else None
     return {
         "bench": "schwinger_heatbath_pallas", "Mt": Mt, "Mx": Mx,
         "beta": BETA, "n_chains": C, "steps_per_launch": STEPS,
@@ -264,9 +277,8 @@ def bench_schwinger(use_pallas: bool = False):
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
     eff = n_samples / wall / tau
-    base = _load_baseline("baseline_schwinger_cpu.json")
-    vs = (eff / (base["eff_samples_per_sec"] * _ncores())
-          if base else None)
+    base = _ref_eff("schwinger_heatbath", core_scaled=True)
+    vs = eff / base if base else None
     return {
         "bench": ("schwinger_heatbath_pallas" if use_pallas
                   else "schwinger_heatbath"),
@@ -281,9 +293,12 @@ def bench_schwinger(use_pallas: bool = False):
     }
 
 
-def bench_schwinger_mlmc():
+def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
+                         n_chains: int = 1024, chunk_size: int = 64):
     """Full multilevel Schwinger susceptibility — the BASELINE.json
-    north-star configuration: estimate vs analytic oracle + wall-clock."""
+    north-star configuration (matches baselines/configs/
+    ref_qft_schwinger_mlmc.in): estimate vs analytic oracle, wall-clock,
+    per-level costs, and eff samples/s vs the real reference MLMC run."""
     from mlmcpathintegral_tpu.conditioned.schwinger import (
         make_schwinger_conditioned_fine_action,
     )
@@ -299,62 +314,78 @@ def bench_schwinger_mlmc():
     lat = Lattice2D(8, 8, CoarseningType.BOTH)
     act = QuenchedSchwingerAction(
         lat, beta=4.0, renormalisation=RenormalisationType.NONPERTURBATIVE)
-    C, N_SAMPLES = 1024, 100_000
+    C, N_SAMPLES = n_chains, n_samples
     mc = MonteCarloMultiLevel(
         act, qoi_2d_susceptibility,
         coarse_sampler_factory=lambda a: QuenchedSchwingerClusterSampler(
             a, n_burnin=20, n_updates=5),
         conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
-        n_level=2, n_burnin=100, n_samples=N_SAMPLES, chunk_size=64)
-    mc.evaluate(jax.random.PRNGKey(2), n_chains=C, dtype=jnp.float32)
+        n_level=2, n_burnin=100, n_samples=N_SAMPLES,
+        chunk_size=(256 if use_pallas else chunk_size),
+        use_pallas=use_pallas)
+    stats = mc.evaluate(jax.random.PRNGKey(2), n_chains=C,
+                        dtype=jnp.float32)
     num = mc.numerical_result()
     err = mc.statistical_error()
     oracle = act.chit_exact()
+    tau0 = mc.stats_qoi[0].tau_int(stats[0])
+    n0 = mc.stats_qoi[0].samples(stats[0])
+    wall = mc.elapsed_s
+    sampling = max(mc.timings["sampling_s"], 1e-9)
+    eff = n0 / (tau0 * wall)
+    base = _ref_eff("schwinger_mlmc", core_scaled=False)
     return {
-        "bench": "schwinger_mlmc", "Mt": 8, "Mx": 8, "beta": 4.0,
+        "bench": ("schwinger_mlmc_pallas" if use_pallas
+                  else "schwinger_mlmc"),
+        "Mt": 8, "Mx": 8, "beta": 4.0,
         "n_level": 2, "n_chains": C, "n_samples_per_level": N_SAMPLES,
         "chit": round(num, 5), "err": round(err, 5),
         "oracle_chit": round(oracle, 5),
         "sigma_dev": round(abs(num - oracle) / err, 2),
-        "wall_s": round(mc.elapsed_s, 2),
+        "tau_int_Y0": round(tau0, 3),
+        "t_sub": list(mc._t_sub),
+        "wall_s": round(wall, 2),
         "timings": {k: round(v, 2) for k, v in mc.timings.items()},
-        "samples_per_sec": round(2 * N_SAMPLES / mc.elapsed_s, 1),
-        "sampling_samples_per_sec": round(
-            2 * N_SAMPLES / max(mc.timings["sampling_s"], 1e-9), 1),
+        "cost_per_sample_us": [round(c, 3) for c in mc.cost_per_sample],
+        "samples_per_sec": round(2 * N_SAMPLES / wall, 1),
+        "sampling_samples_per_sec": round(2 * N_SAMPLES / sampling, 1),
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(eff / base, 2) if base else None,
     }
 
 
 def main():
     # the first benchmark in the process gets the clean device (the tunnel
-    # penalises later dispatch streams) — run the fused-kernel headline
-    # candidate first
+    # penalises later dispatch streams) — run the north star first
+    on_tpu = _BACKEND == "tpu"     # Mosaic kernels need the real chip
+    mlmc = None
+    if on_tpu:
+        try:
+            mlmc = bench_schwinger_mlmc(use_pallas=True)
+        except Exception as e:     # never lose the headline to the variant
+            mlmc = {"error": repr(e)[:300]}
+    if not mlmc or "eff_samples_per_sec" not in mlmc:
+        mlmc_xla = bench_schwinger_mlmc(use_pallas=False)
+        mlmc = {**mlmc_xla, "pallas_error": (mlmc or {}).get("error")}
     pal = None
-    if _BACKEND == "tpu":          # Mosaic path needs the real chip
+    if on_tpu:
         try:
             pal = bench_schwinger_pallas()
-        except Exception as e:     # never lose the headline to the variant
+        except Exception as e:
             pal = {"error": repr(e)[:200]}
     sch = bench_schwinger()
     har = bench_harmonic()
-    mlmc = bench_schwinger_mlmc()
-    best = sch
-    if pal and "eff_samples_per_sec" in pal \
-            and pal["eff_samples_per_sec"] > sch["eff_samples_per_sec"]:
-        best = pal
-    base = _load_baseline("baseline_schwinger_cpu.json")
-    vs = (best["eff_samples_per_sec"] / (base["eff_samples_per_sec"]
-                                         * _ncores()) if base else None)
     result = {
-        "metric": "effective_samples_per_sec_per_chip",
-        "value": best["eff_samples_per_sec"],
+        "metric": "mlmc_effective_samples_per_sec_per_chip",
+        "value": mlmc["eff_samples_per_sec"],
         "unit": "eff_samples/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": mlmc["vs_baseline"],
         "detail": {
-            "headline": best["bench"],
+            "headline": mlmc["bench"],
+            "schwinger_mlmc": mlmc,
             "schwinger": sch,
             "schwinger_pallas": pal,
             "harmonic": har,
-            "schwinger_mlmc": mlmc,
             "backend": _BACKEND,
         },
     }

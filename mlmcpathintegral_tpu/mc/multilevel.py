@@ -41,13 +41,18 @@ class MonteCarloMultiLevel:
                  conditioned_fine_action_factory, *,
                  n_level: int, epsilon: float = 1e-2, n_burnin: int = 100,
                  n_samples: int = 0, n_autocorr_window: int = 20,
-                 n_min_samples_qoi: int = 100, chunk_size: int = 128):
+                 n_min_samples_qoi: int = 100, chunk_size: int = 128,
+                 use_pallas: bool = False, pallas_interpret: bool = False,
+                 t_max: int = 100):
         self.n_level = int(n_level)
         self.epsilon = float(epsilon)
         self.n_burnin = int(n_burnin)
         self.n_samples = int(n_samples)   # fixed per-level target if > 0
         self.n_min_samples_qoi = int(n_min_samples_qoi)
         self.chunk_size = int(chunk_size)
+        self.use_pallas = bool(use_pallas)
+        self.pallas_interpret = bool(pallas_interpret)
+        self.t_max = int(t_max)
 
         # build the action hierarchy + per-level machinery
         # (montecarlomultilevel.cc:26-68)
@@ -68,13 +73,182 @@ class MonteCarloMultiLevel:
                           for ell in range(self.n_level)]
         self.stats_cs = [Statistics(f"Q_sampler[{ell}]", n_autocorr_window)
                          for ell in range(self.n_level - 1)]
+        self._setup_fused()
         self._build_kernels()
+
+    # -- fused Pallas path (Schwinger, both-coarsening; VERDICT r1 item 2) ------
+
+    def _fused_level(self, ell: int) -> bool:
+        """Level ell (< L-1) runs the fused two-level kernel?"""
+        if not self.use_pallas:
+            return False
+        from mlmcpathintegral_tpu.models.qft.schwinger import (
+            QuenchedSchwingerAction,
+        )
+        act = self.actions[ell]
+        if type(act) is not QuenchedSchwingerAction:
+            return False
+        lat = act.lattice
+        return (act._coarsen_case() == "both" and act.beta <= 8.0
+                and lat.Mt_lat % 2 == 0 and lat.Mx_lat % 2 == 0)
+
+    def _fused_coarsest(self) -> bool:
+        if not self.use_pallas:
+            return False
+        from mlmcpathintegral_tpu.models.qft.schwinger import (
+            QuenchedSchwingerAction,
+        )
+        return type(self.actions[-1]) is QuenchedSchwingerAction
+
+    def _setup_fused(self):
+        """Swap in heat-bath coarse samplers for fused levels (the
+        in-kernel coarse chain is the heat bath; the sampler object is
+        only used for initialise/burn-in) and initialise the per-level
+        static subsampling rates."""
+        self._t_sub = [2] * self.n_level
+        self._fused_cache = {}
+        if not self.use_pallas:
+            return
+        from mlmcpathintegral_tpu.samplers.heatbath import (
+            OverrelaxedHeatBathSampler,
+        )
+        for ell in range(self.n_level - 1):
+            if self._fused_level(ell):
+                self.coarse_samplers[ell] = OverrelaxedHeatBathSampler(
+                    self.actions[ell + 1], n_sweep_heatbath=1,
+                    n_sweep_overrelax=1, n_burnin=self.n_burnin)
+        if self._fused_coarsest():
+            self.coarsest_sampler = OverrelaxedHeatBathSampler(
+                self.actions[-1], n_sweep_heatbath=1, n_sweep_overrelax=1,
+                n_burnin=self.n_burnin)
+
+    def _pallas_block(self, n_chains: int, ndof: int) -> int:
+        block = 1024
+        while block * ndof > (1 << 19) and block > 8:
+            block //= 2
+        while n_chains % block:
+            block //= 2
+        return block
+
+    def _make_fused_chunk(self, ell: int, t_sub: int, n_chains: int):
+        """Jitted fused two-level chunk for level ell at a static
+        subsampling rate t_sub."""
+        import math as _math
+
+        from mlmcpathintegral_tpu.ops.pallas_schwinger_twolevel import (
+            schwinger_twolevel_chain,
+        )
+        act, cact = self.actions[ell], self.actions[ell + 1]
+        lat = act.lattice
+        block = self._pallas_block(n_chains, 10 * lat.nedges // 4)
+        four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
+        chunk_size = self.chunk_size
+        interpret = self.pallas_interpret
+
+        @jax.jit
+        def chunk(key, carry, n_active):
+            cstate, tl, st_y, st_cs, t_accum = carry
+            seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
+                                      jnp.int32)
+            thf, thc, sf, sq, y, qc, acc = schwinger_twolevel_chain(
+                tl.theta, cstate.x, tl.S_fine, tl.S_cond, seed,
+                beta=act.beta, beta_c=cact.beta,
+                Mt=lat.Mt_lat, Mx=lat.Mx_lat,
+                n_steps=chunk_size, t_sub=t_sub,
+                block_chains=block, interpret=interpret)
+            idx = jnp.arange(chunk_size)
+
+            def rec(st, inp):
+                yv, i = inp
+                return stats_mod.record_masked(st, yv, i < n_active), None
+
+            st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
+            st_cs = stats_mod.record_many(st_cs,
+                                          four_pi2_inv * qc * qc)
+            sum_t, n_indep = t_accum
+            t_accum = (sum_t + t_sub * chunk_size,
+                       n_indep + float(chunk_size))
+            cstate = type(cstate)(x=thc)
+            tl_new = type(tl)(theta=thf, S_fine=sf, S_cond=sq)
+            return (cstate, tl_new, st_y, st_cs, t_accum)
+
+        return chunk
+
+    def _make_fused_chunk_L(self, t_sub: int, n_chains: int):
+        """Jitted fused coarsest-level chunk: chunk_size tau-subsampled
+        measurements driven by the multi-step heat-bath chain kernel."""
+        import math as _math
+
+        from mlmcpathintegral_tpu.ops.pallas_schwinger import (
+            schwinger_sweep_chain,
+        )
+        cact = self.actions[-1]
+        lat = cact.lattice
+        block = self._pallas_block(n_chains, lat.nedges)
+        four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
+        chunk_size = self.chunk_size
+        interpret = self.pallas_interpret
+
+        @jax.jit
+        def chunk_L(key, carry, n_active):
+            cstate, st_y, st_cs, t_accum = carry
+            seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
+                                      jnp.int32)
+            x, qsum = schwinger_sweep_chain(
+                cstate.x, seed, beta=cact.beta,
+                Mt=lat.Mt_lat, Mx=lat.Mx_lat,
+                n_steps=chunk_size * t_sub,
+                block_chains=block, interpret=interpret)
+            qoi = four_pi2_inv * qsum * qsum       # [chunk*t_sub, C]
+            st_cs = stats_mod.record_many(st_cs, qoi)
+            y = qoi[t_sub - 1::t_sub]              # [chunk, C]
+            idx = jnp.arange(chunk_size)
+
+            def rec(st, inp):
+                yv, i = inp
+                return stats_mod.record_masked(st, yv, i < n_active), None
+
+            st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
+            sum_t, n_indep = t_accum
+            t_accum = (sum_t + t_sub * chunk_size,
+                       n_indep + float(chunk_size))
+            return (type(cstate)(x=x), st_y, st_cs, t_accum)
+
+        return chunk_L
+
+    def _update_t_sub(self, carries, carry_L):
+        """Re-estimate the per-level coarse subsampling rates from the
+        coarse-sampler tau_int (montecarlotwolevel.cc:82-94) — the fused
+        kernels bake t_sub in statically, so this adapts between chunks
+        rather than between draws."""
+        for ell in range(self.n_level - 1):
+            if self._fused_level(ell):
+                tau = self.stats_cs[ell].tau_int(carries[ell][3])
+                self._t_sub[ell] = int(min(self.t_max,
+                                           max(1, math.ceil(2.0 * tau))))
+        if self._fused_coarsest():
+            stats_L = Statistics("cs_L", self.stats_qoi[-1].k_max)
+            tau = stats_L.tau_int(carry_L[2])
+            self._t_sub[-1] = int(min(self.t_max,
+                                      max(1, math.ceil(2.0 * tau))))
 
     # -------------------------------------------------------------------------
 
     def _build_kernels(self):
         self._chunk = []
         for ell in range(self.n_level - 1):
+            if self._fused_level(ell):
+                def dispatch(key, carry, n_active, *, ell=ell):
+                    k = (ell, self._t_sub[ell], self.n_chains)
+                    fn = self._fused_cache.get(k)
+                    if fn is None:
+                        fn = self._make_fused_chunk(ell, self._t_sub[ell],
+                                                    self.n_chains)
+                        self._fused_cache[k] = fn
+                    return fn(key, carry, n_active)
+
+                self._chunk.append(dispatch)
+                continue
             draw_coarse = make_coarse_subsampler(self.coarse_samplers[ell],
                                                  self.qois[ell + 1])
             step = self.twolevel_steps[ell]
@@ -101,6 +275,18 @@ class MonteCarloMultiLevel:
             self._chunk.append(jax.jit(chunk))
 
         # coarsest level: Y = Q_{L-1} on a tau-subsampled standalone chain
+        if self._fused_coarsest():
+            def dispatch_L(key, carry, n_active):
+                k = ("L", self._t_sub[-1], self.n_chains)
+                fn = self._fused_cache.get(k)
+                if fn is None:
+                    fn = self._make_fused_chunk_L(self._t_sub[-1],
+                                                  self.n_chains)
+                    self._fused_cache[k] = fn
+                return fn(key, carry, n_active)
+
+            self._chunk_L = dispatch_L
+            return
         draw_coarse = make_coarse_subsampler(self.coarsest_sampler,
                                              self.qois[-1])
         qoi_L = self.qois[-1]
@@ -202,6 +388,10 @@ class MonteCarloMultiLevel:
         self.timings["burnin_s"] = (time.monotonic() - t_start
                                     - self.timings["prepare_s"])
 
+        # adapt the fused kernels' static subsampling rates to the
+        # coarse-sampler tau_int learned during burn-in
+        self._update_t_sub(carries, carry_L)
+
         # measure per-sample cost of each level kernel (warm from burn-in)
         t_cost0 = time.monotonic()
         self.cost_per_sample = []
@@ -242,6 +432,7 @@ class MonteCarloMultiLevel:
                         carries[ell] = c
             if self.n_samples > 0 and sufficient:
                 break
+            self._update_t_sub(carries, carry_L)
             # recompute targets from variances, tau and costs
             V = [];  tau = [];  C_eff = []
             for ell in range(L):
