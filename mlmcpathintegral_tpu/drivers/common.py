@@ -60,6 +60,19 @@ def make_sampler_factory(name: str, config, cond_factory=None,
                                 "n_sweep_overrelax": 1,
                                 "n_burnin": 100, "random_order": True,
                                 "use_pallas": False})
+        # the reference's random_order shuffles its sequential site loop
+        # (overrelaxedheatbathsampler.cc:8-31); the TPU sweep is
+        # checkerboard-coloured instead (all conflict-free sites update
+        # simultaneously), which supersedes any site ordering — honour the
+        # key by validating it and telling the user it has no effect here
+        if "random_order" in config.get("heatbath", {}):
+            sec.get_bool("random_order")
+            import warnings
+            warnings.warn(
+                "heatbath.random_order has no effect: the TPU sweep is "
+                "checkerboard-coloured (samplers/heatbath.py), which "
+                "replaces the reference's sequential site ordering",
+                stacklevel=2)
         return lambda action: OverrelaxedHeatBathSampler(
             action,
             n_sweep_heatbath=sec.get_int("n_sweep_heatbath", positive=True),

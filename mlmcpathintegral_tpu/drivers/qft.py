@@ -164,9 +164,19 @@ def main(argv=None):
             n_samples=sec.get_int("n_samples", non_negative=True),
             epsilon=sec.get_float("epsilon", positive=True),
             n_autocorr_window=n_autocorr,
-            n_min_samples_qoi=n_min_samples)
-        _, stats = mc.evaluate(key, n_chains, dtype, verbose=True)
+            n_min_samples_qoi=n_min_samples,
+            qoi_log_path=config.get("singlelevelmc", {}).get(
+                "qoi_log_path"),
+            save_states_path=config.get("singlelevelmc", {}).get(
+                "save_states_path"))
+        sstate, stats = mc.evaluate(key, n_chains, dtype, verbose=True)
         mc.show_statistics(stats)
+        print(f" sampler acceptance p = {mc.p_accept:.5f}")
+        if hasattr(mc.sampler, "show_stats"):
+            # per-level acceptance of the hierarchical/multilevel sampler
+            # (hierarchicalsampler.cc:90-117)
+            print("=== Per-level sampler statistics ===")
+            mc.sampler.show_stats(sstate)
         numerical, stat_err = mc.numerical_result(stats), \
             mc.statistical_error(stats)
         if is_schwinger:

@@ -31,7 +31,7 @@ class MonteCarloSingleLevel:
                  n_burnin: int = 100, n_samples: int = 0,
                  epsilon: float = 1e-2, n_autocorr_window: int = 20,
                  n_min_samples_qoi: int = 100, chunk_size: int = 256,
-                 qoi_log_path=None):
+                 qoi_log_path=None, save_states_path=None):
         self.action = action
         self.qoi = qoi
         self.sampler = sampler
@@ -46,34 +46,71 @@ class MonteCarloSingleLevel:
         #: recorded per-chain QoI value to a binary float64 file of shape
         #: [n_steps, n_chains] for offline analysis (tools/analyze_qoi_log)
         self.qoi_log_path = qoi_log_path
+        #: SAVE_STATES analog (config.h:16-23, montecarlosinglelevel.cc:
+        #: 61-70): dump the recorded chain states per chunk as
+        #: ``states_<offset>.npz`` ([n_recorded, n_chains, ndof]) under
+        #: this directory, for inspection (not resumption — see
+        #: utils/checkpoint.py for the real checkpointing)
+        self.save_states_path = save_states_path
+        #: per-step cross-chain QoI means, accumulated for the binning
+        #: cross-check of a window-capped tau_int (chains are iid, so the
+        #: normalised autocorrelation of the cross-chain mean equals the
+        #: per-chain one)
+        self._qbar_history = []
 
-        @jax.jit
-        def _chunk(key, sampler_state, stats_state, n_active):
+        def _chunk_body(key, sampler_state, stats_state, n_active,
+                        with_states: bool):
             """Advance chunk_size draws; record QoI only for the first
             n_active steps (montecarlosinglelevel.cc:58-77)."""
             def body(carry, inp):
                 ss, st = carry
                 k, i = inp
                 ss, accept = self.sampler.draw(k, ss)
-                q = self.qoi(self.sampler.x_of(ss))
+                x = self.sampler.x_of(ss)
+                q = self.qoi(x)
                 st = stats_mod.record_masked(st, q, i < n_active)
-                return (ss, st), (jnp.sum(accept), q)
+                out = (jnp.sum(accept), q)
+                if with_states:
+                    out = out + (x,)
+                return (ss, st), out
             keys = jax.random.split(key, self.chunk_size)
             idx = jnp.arange(self.chunk_size)
-            (ss, st), (n_acc, qs) = jax.lax.scan(
+            (ss, st), outs = jax.lax.scan(
                 body, (sampler_state, stats_state), (keys, idx))
-            return ss, st, jnp.sum(n_acc), qs
+            return (ss, st, jnp.sum(outs[0])) + tuple(outs[1:])
 
-        self._chunk_impl = _chunk
+        import functools
+        self._chunk_impl = jax.jit(
+            functools.partial(_chunk_body, with_states=False))
+        #: SAVE_STATES variant additionally returning the per-step state
+        #: trace [chunk, C, ndof] (only compiled when states are saved)
+        self._chunk_impl_states = jax.jit(
+            functools.partial(_chunk_body, with_states=True))
         self._log_fh = None
 
-    def _chunk(self, key, sampler_state, stats_state, n_active):
-        ss, st, n_acc, qs = self._chunk_impl(key, sampler_state,
-                                             stats_state, n_active)
+    def _chunk(self, key, sampler_state, stats_state, n_active,
+               record_history=True):
+        import numpy as np
+        save = self.save_states_path is not None and record_history
+        if save:
+            ss, st, n_acc, qs, xs = self._chunk_impl_states(
+                key, sampler_state, stats_state, n_active)
+        else:
+            ss, st, n_acc, qs = self._chunk_impl(key, sampler_state,
+                                                 stats_state, n_active)
+        n = int(n_active)
         if self._log_fh is not None:
-            import numpy as np
-            n = int(n_active)
             np.asarray(qs[:n]).astype(np.float64).tofile(self._log_fh)
+        if record_history:
+            self._qbar_history.append(
+                np.asarray(qs[:n]).mean(axis=1).astype(np.float64))
+        if save:
+            from pathlib import Path
+            d = Path(self.save_states_path)
+            d.mkdir(parents=True, exist_ok=True)
+            offset = sum(len(h) for h in self._qbar_history) - n
+            np.savez_compressed(d / f"states_{offset:08d}.npz",
+                                x=np.asarray(xs[:n]))
         return ss, st, n_acc
 
     # -------------------------------------------------------------------------
@@ -91,11 +128,13 @@ class MonteCarloSingleLevel:
 
         # burn-in recorded into long-term moments then soft-reset, so tau_int
         # is learned during warm-up (montecarlosinglelevel.cc:28-38)
+        self._qbar_history = []
         n_burn_done = 0
         while n_burn_done < self.n_burnin:
             n = min(self.chunk_size, self.n_burnin - n_burn_done)
             k_burn, sub = jax.random.split(k_burn)
-            sstate, stats, _ = self._chunk(sub, sstate, stats, n)
+            sstate, stats, _ = self._chunk(sub, sstate, stats, n,
+                                           record_history=False)
             n_burn_done += n
         stats = stats_mod.soft_reset(stats)
         if verbose:
@@ -129,9 +168,30 @@ class MonteCarloSingleLevel:
         if self.n_samples > 0:
             return self.n_samples
         tau = self.stats_Q.tau_int(stats)
+        if self.stats_Q.window_capped(stats):
+            tau = max(tau, self._tau_binning())
         var = self.stats_Q.variance(stats)
         return max(self.n_min_samples_qoi,
                    int(math.ceil(tau * two_eps_inv2 * var)))
+
+    def _tau_binning(self) -> float:
+        """Binning cross-check of a window-capped tau_int: tau ~=
+        (plateau error / naive error)^2 of the per-step cross-chain mean
+        series (native/statistics_engine.cc mlmc_stats_binning; VERDICT
+        r1 weak-point 3)."""
+        import numpy as np
+
+        from mlmcpathintegral_tpu.utils.native import binning_analysis
+        if not self._qbar_history:
+            return 1.0
+        series = np.concatenate(self._qbar_history)
+        if series.size < 64:
+            return 1.0
+        n_levels = max(2, int(math.log2(series.size)) - 3)
+        errs = binning_analysis(series, n_levels=min(n_levels, 16))
+        if errs[0] <= 0.0:
+            return 1.0
+        return float(max(1.0, (errs.max() / errs[0]) ** 2))
 
     # -------------------------------------------------------------------------
 
