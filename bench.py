@@ -78,6 +78,74 @@ def _ncores():
     return int(f.read_text()) if f.exists() else 1
 
 
+# ---------------------------------------------------------------------------
+# Roofline accounting (VERDICT r1 item 4).  The sampler kernels are
+# elementwise VPU work (no matmuls), so the relevant peaks are the VPU
+# f32 rate and HBM bandwidth.  v5e (1 chip): VPU ~= 8x128 lanes x 4 ALUs
+# x 0.94 GHz ~= 3.9e12 f32 op/s (the MXU's 197 TFLOP/s bf16 is
+# unreachable for this op mix — reported utilisation is vs the VPU);
+# HBM = 819 GB/s.  XLA-path benches use the compiler's own cost model
+# (compiled.cost_analysis()); Pallas kernels are opaque custom calls, so
+# their op counts come from a documented static model of the kernel code.
+# ---------------------------------------------------------------------------
+
+V5E_VPU_F32 = 3.9e12          # estimated f32 VPU peak, op/s
+V5E_HBM_BPS = 8.19e11         # HBM bandwidth, byte/s
+TRANSC_COST = 8               # VPU op-slots charged per exp/log/sin/cos/
+                              # sqrt (multi-pass on the vector unit)
+
+
+def _xla_cost(jitted, *args):
+    """XLA's own flops/bytes estimate for one call (TPU backend only)."""
+    try:
+        c = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0] if c else {}
+        return {"flops": float(c.get("flops", 0.0)),
+                "bytes": float(c.get("bytes accessed", 0.0))}
+    except Exception:
+        return None
+
+
+def _schwinger_kernel_ops(k_rej=6, n_overrelax=1, n_heatbath=1):
+    """Static VPU op count per LINK update of the fused Schwinger sweep
+    (ops/pallas_schwinger.py).  Counted from the code:
+      staples: 6 add + 2 mod_2pi (4 ops each)           = 14
+      overrelax: 2 add + 1 mod                          = 6
+      rng word: 2 x fmix32 (11 int-ops) + 2 mul/add     = 24
+      uniform: rng + 3;  normal: 2 uniforms + 3 transc
+      heat-bath round: 1 normal + 2 uniforms + 2 transc (cos, log)
+                       + ~12 arith                      = 136
+    """
+    rng = 24
+    uniform = rng + 3
+    normal = 2 * uniform + 3 * TRANSC_COST
+    round_ops = normal + 2 * uniform + 2 * TRANSC_COST + 12
+    staple = 14
+    over = staple + 6
+    heat = staple + 8 + k_rej * round_ops   # tau/sigma/shift prep = 8
+    return n_overrelax * over + n_heatbath * heat
+
+
+def _roofline_pallas_schwinger(n_links, n_chains, n_steps, wall_s,
+                               k_rej=6):
+    """Roofline summary of the chained Schwinger kernel: HBM traffic is
+    one field round trip per launch plus the QoI trace; compute is the
+    static per-link op model (+1 mod+add per site for the QoI)."""
+    updates = n_links * n_chains * n_steps        # link updates per launch
+    ops = updates * (_schwinger_kernel_ops(k_rej) + 5)
+    bytes_hbm = (n_links * n_chains * 4) * 2 + n_steps * n_chains * 4
+    return {
+        "site_updates_per_sec": round(updates / wall_s, 1),
+        "est_vpu_ops_per_sec": round(ops / wall_s, 1),
+        "est_vpu_util": round(ops / wall_s / V5E_VPU_F32, 4),
+        "hbm_bytes_per_launch": bytes_hbm,
+        "hbm_gbps": round(bytes_hbm / wall_s / 1e9, 3),
+        "hbm_util": round(bytes_hbm / wall_s / V5E_HBM_BPS, 6),
+        "bound": "vpu (compute); HBM traffic amortised over n_steps",
+    }
+
+
 def _ref_eff(run: str, core_scaled: bool):
     """Effective-samples/s of one real-reference run
     (baselines/ref_baselines.json), optionally scaled by the host core
@@ -145,6 +213,18 @@ def bench_harmonic():
     eff = n_samples / wall / tau
     base = _ref_eff("harmonic_hmc", core_scaled=True)
     vs = eff / base if base else None
+    cost = _xla_cost(chunk, sub, sstate, stats_state)
+    roofline = None
+    if cost and cost["flops"]:
+        per_s = 1.0 / (wall / n_chunks)
+        roofline = {
+            "xla_flops_per_chunk": cost["flops"],
+            "xla_bytes_per_chunk": cost["bytes"],
+            "flops_per_sec": round(cost["flops"] * per_s, 1),
+            "vpu_util": round(cost["flops"] * per_s / V5E_VPU_F32, 4),
+            "hbm_gbps": round(cost["bytes"] * per_s / 1e9, 3),
+            "hbm_util": round(cost["bytes"] * per_s / V5E_HBM_BPS, 4),
+        }
     return {
         "bench": "hmc_harmonic", "M": M, "n_chains": C, "nt": NT,
         "samples_per_sec": round(n_samples / wall, 1),
@@ -153,6 +233,7 @@ def bench_harmonic():
         "oracle_x2": round(action.Xsquared_analytical(), 5),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(vs, 2) if vs else None,
+        "roofline": roofline,
     }
 
 
@@ -213,6 +294,16 @@ def bench_schwinger_pallas():
     eff = n_samples / wall / tau
     base = _ref_eff("schwinger_heatbath", core_scaled=True)
     vs = eff / base if base else None
+    # one jax.profiler trace artifact of a single chunk (VERDICT r1 item 4)
+    trace_dir = REPO / "bench_profile" / "schwinger_pallas"
+    try:
+        k_run, sub = jax.random.split(k_run)
+        with jax.profiler.trace(str(trace_dir)):
+            out = chunk(sub, sstate, stats_state)
+            jax.block_until_ready(out)
+        trace_path = str(trace_dir)
+    except Exception:
+        trace_path = None
     return {
         "bench": "schwinger_heatbath_pallas", "Mt": Mt, "Mx": Mx,
         "beta": BETA, "n_chains": C, "steps_per_launch": STEPS,
@@ -222,6 +313,9 @@ def bench_schwinger_pallas():
         "oracle_chit": round(action.chit_exact(), 5),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(vs, 2) if vs else None,
+        "roofline": _roofline_pallas_schwinger(
+            2 * Mt * Mx, C, STEPS, wall / n_chunks),
+        "profile_trace": trace_path,
     }
 
 
@@ -279,6 +373,19 @@ def bench_schwinger(use_pallas: bool = False):
     eff = n_samples / wall / tau
     base = _ref_eff("schwinger_heatbath", core_scaled=True)
     vs = eff / base if base else None
+    # roofline from XLA's own cost model for the jitted chunk
+    cost = _xla_cost(chunk, sub, sstate, stats_state)
+    roofline = None
+    if cost and cost["flops"]:
+        per_s = 1.0 / (wall / n_chunks)
+        roofline = {
+            "xla_flops_per_chunk": cost["flops"],
+            "xla_bytes_per_chunk": cost["bytes"],
+            "flops_per_sec": round(cost["flops"] * per_s, 1),
+            "vpu_util": round(cost["flops"] * per_s / V5E_VPU_F32, 4),
+            "hbm_gbps": round(cost["bytes"] * per_s / 1e9, 3),
+            "hbm_util": round(cost["bytes"] * per_s / V5E_HBM_BPS, 4),
+        }
     return {
         "bench": ("schwinger_heatbath_pallas" if use_pallas
                   else "schwinger_heatbath"),
@@ -290,6 +397,7 @@ def bench_schwinger(use_pallas: bool = False):
         "oracle_chit": round(action.chit_exact(), 5),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(vs, 2) if vs else None,
+        "roofline": roofline,
     }
 
 
@@ -332,7 +440,13 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
     n0 = mc.stats_qoi[0].samples(stats[0])
     wall = mc.elapsed_s
     sampling = max(mc.timings["sampling_s"], 1e-9)
-    eff = n0 / (tau0 * wall)
+    # method wall excludes the prepare phase (jit compiles + initial
+    # state construction) — the same scope as the reference's own
+    # per-level cost breakdown, which excludes its constructors'
+    # self-timing draws (montecarlomultilevel.cc:207-252; the recorded
+    # ref_baselines.json eff uses that breakdown's total)
+    method_wall = max(wall - mc.timings["prepare_s"], 1e-9)
+    eff = n0 / (tau0 * method_wall)
     base = _ref_eff("schwinger_mlmc", core_scaled=False)
     return {
         "bench": ("schwinger_mlmc_pallas" if use_pallas
@@ -345,10 +459,97 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
         "tau_int_Y0": round(tau0, 3),
         "t_sub": list(mc._t_sub),
         "wall_s": round(wall, 2),
+        "method_wall_s": round(method_wall, 2),
         "timings": {k: round(v, 2) for k, v in mc.timings.items()},
         "cost_per_sample_us": [round(c, 3) for c in mc.cost_per_sample],
         "samples_per_sec": round(2 * N_SAMPLES / wall, 1),
         "sampling_samples_per_sec": round(2 * N_SAMPLES / sampling, 1),
+        "eff_samples_per_sec": round(eff, 1),
+        "eff_samples_per_sec_incl_prepare": round(n0 / (tau0 * wall), 1),
+        "vs_baseline": round(eff / base, 2) if base else None,
+    }
+
+
+def bench_rotor(use_pallas: bool):
+    """Topological rotor chi_t at M=64 (BASELINE config 3): the cluster
+    sampler (reference's choice — flat tau_int in a) and, on TPU, the
+    fused heat-bath chain kernel; vs_baseline compares against the real
+    reference cluster run (core-scaled)."""
+    import numpy as np
+
+    from mlmcpathintegral_tpu.lattice import Lattice1D
+    from mlmcpathintegral_tpu.models.rotor import RotorAction
+    from mlmcpathintegral_tpu.qoi import qoi_susceptibility
+    from mlmcpathintegral_tpu.samplers import (
+        ClusterSampler, OverrelaxedHeatBathSampler,
+    )
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    M, C = 64, 4096
+    dtype = jnp.float32
+    lat = Lattice1D(M_lat=M, T_final=4.0)
+    action = RotorAction(lat, m0=0.25)
+    stats = Statistics("chit", 40)
+    key = jax.random.PRNGKey(3)
+    k_prep, k_run = jax.random.split(key)
+    STEPS = 128
+
+    if use_pallas:
+        sampler = OverrelaxedHeatBathSampler(
+            action, n_sweep_heatbath=1, n_sweep_overrelax=2,
+            n_burnin=200, use_pallas=True)
+        sstate = sampler.prepare(k_prep, C, dtype)
+        inv_t = 1.0 / lat.T_final
+        four_pi2_inv = 1.0 / (4.0 * np.pi ** 2)
+
+        @jax.jit
+        def chunk(key, sstate, stats_state):
+            sstate, wsum = sampler.draw_chain(key, sstate, STEPS)
+            y = four_pi2_inv * inv_t * wsum * wsum
+            return sstate, jax.lax.scan(
+                lambda st, yi: (stats_mod.record(st, yi), None),
+                stats_state, y)[0]
+    else:
+        sampler = ClusterSampler(action, n_burnin=100, n_updates=10)
+        sstate = sampler.prepare(k_prep, C, dtype)
+        qoi = qoi_susceptibility(action)
+
+        @jax.jit
+        def chunk(key, sstate, stats_state):
+            def body(carry, k):
+                ss, st = carry
+                ss, _ = sampler.draw(k, ss)
+                return (ss, stats_mod.record(st, qoi(ss.x))), None
+            keys = jax.random.split(key, STEPS)
+            (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+            return ss, st
+
+    stats_state = stats.init(C, dtype)
+    k_run, sub = jax.random.split(k_run)
+    sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
+    jax.block_until_ready(stats_state)
+    stats_state = stats_mod.soft_reset(stats_state)
+
+    n_chunks = 8
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        k_run, sub = jax.random.split(k_run)
+        sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n_samples = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    eff = n_samples / wall / tau
+    base = _ref_eff("rotor_cluster_M64", core_scaled=True)
+    return {
+        "bench": ("rotor_heatbath_pallas" if use_pallas
+                  else "rotor_cluster"),
+        "M": M, "n_chains": C,
+        "samples_per_sec": round(n_samples / wall, 1),
+        "tau_int": round(tau, 3),
+        "avg_chit": round(stats.average(stats_state), 5),
+        "oracle_chit": round(action.chit_exact(), 5),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(eff / base, 2) if base else None,
     }
@@ -361,7 +562,11 @@ def main():
     mlmc = None
     if on_tpu:
         try:
-            mlmc = bench_schwinger_mlmc(use_pallas=True)
+            # chip-scale sample budget: the fused kernels sample at
+            # ~0.35 us/draw, so 4M draws/level keeps the sampling phase
+            # dominant over the (cache-amortised) compile phases
+            mlmc = bench_schwinger_mlmc(use_pallas=True,
+                                        n_samples=4_000_000)
         except Exception as e:     # never lose the headline to the variant
             mlmc = {"error": repr(e)[:300]}
     if not mlmc or "eff_samples_per_sec" not in mlmc:
@@ -375,6 +580,11 @@ def main():
             pal = {"error": repr(e)[:200]}
     sch = bench_schwinger()
     har = bench_harmonic()
+    rot = None
+    try:
+        rot = bench_rotor(use_pallas=on_tpu)
+    except Exception as e:
+        rot = {"error": repr(e)[:200]}
     result = {
         "metric": "mlmc_effective_samples_per_sec_per_chip",
         "value": mlmc["eff_samples_per_sec"],
@@ -386,6 +596,7 @@ def main():
             "schwinger": sch,
             "schwinger_pallas": pal,
             "harmonic": har,
+            "rotor": rot,
             "backend": _BACKEND,
         },
     }

@@ -221,16 +221,21 @@ class MonteCarloMultiLevel:
         coarse-sampler tau_int (montecarlotwolevel.cc:82-94) — the fused
         kernels bake t_sub in statically, so this adapts between chunks
         rather than between draws."""
+        def quantised(tau):
+            # round ceil(2 tau) UP to a power of two: extra decorrelation
+            # is harmless and the fused kernels recompile per distinct
+            # (static) t_sub, so coarse quantisation bounds recompiles
+            t = min(self.t_max, max(1, math.ceil(2.0 * tau)))
+            return 1 << (t - 1).bit_length()
+
         for ell in range(self.n_level - 1):
             if self._fused_level(ell):
                 tau = self.stats_cs[ell].tau_int(carries[ell][3])
-                self._t_sub[ell] = int(min(self.t_max,
-                                           max(1, math.ceil(2.0 * tau))))
+                self._t_sub[ell] = quantised(tau)
         if self._fused_coarsest():
             stats_L = Statistics("cs_L", self.stats_qoi[-1].k_max)
             tau = stats_L.tau_int(carry_L[2])
-            self._t_sub[-1] = int(min(self.t_max,
-                                      max(1, math.ceil(2.0 * tau))))
+            self._t_sub[-1] = quantised(tau)
 
     # -------------------------------------------------------------------------
 
@@ -309,7 +314,14 @@ class MonteCarloMultiLevel:
 
     # -------------------------------------------------------------------------
 
-    def evaluate(self, key, n_chains: int, dtype=None, verbose: bool = False):
+    def evaluate(self, key, n_chains: int, dtype=None, verbose: bool = False,
+                 mesh=None):
+        """Run the full MLMC estimation.  With ``mesh`` (a 1-D
+        jax.sharding.Mesh with a 'chains' axis) every per-level carry is
+        sharded over the chain axis — the multilevel method the reference
+        explicitly cannot parallelise (driver_qm.cc:382-386) runs
+        chain-parallel across devices here; per-chain work stays local
+        and only the host-side getters aggregate."""
         t_start = time.monotonic()
         self.timings = {}   # wall-clock per phase (prepare incl. compiles)
         L = self.n_level
@@ -345,6 +357,11 @@ class MonteCarloMultiLevel:
                              if self.stats_cs else 20).init(n_chains, rdtype)
         t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
         carry_L = (cstate, st_y, st_cs_L, t_accum)
+
+        if mesh is not None:
+            from mlmcpathintegral_tpu.parallel import shard_chains
+            carries = [shard_chains(mesh, c) for c in carries]
+            carry_L = shard_chains(mesh, carry_L)
 
         key_run = keys[2 * L + 1]
         jax.block_until_ready(carry_L)
@@ -392,11 +409,15 @@ class MonteCarloMultiLevel:
         # coarse-sampler tau_int learned during burn-in
         self._update_t_sub(carries, carry_L)
 
-        # measure per-sample cost of each level kernel (warm from burn-in)
+        # measure per-sample cost of each level kernel: one un-timed
+        # warm-up chunk first (the t_sub update above may have re-built a
+        # fused kernel — its compile must not pollute the cost model the
+        # adaptive N_ell allocation feeds on)
         t_cost0 = time.monotonic()
         self.cost_per_sample = []
         for ell in range(L):
             c = carry_L if ell == L - 1 else carries[ell]
+            c, key_run = run_level(ell, c, self.chunk_size, key_run)
             jax.block_until_ready(c)
             t0 = time.monotonic()
             c, key_run = run_level(ell, c, self.chunk_size, key_run)

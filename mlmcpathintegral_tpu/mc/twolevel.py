@@ -114,9 +114,13 @@ class MonteCarloTwoLevel:
         self._chunk = _chunk
 
     def evaluate_difference(self, key, n_chains: int, dtype=None,
-                            verbose: bool = False):
+                            verbose: bool = False, mesh=None):
         """Burn-in then record n_samples of (Q_f, Q_c, Y); returns the stats
-        states dict (montecarlotwolevel.cc:38-79)."""
+        states dict (montecarlotwolevel.cc:38-79).  With ``mesh`` the
+        chain carries are sharded over the mesh's 'chains' axis (the
+        reference splits two-level samples over MPI ranks,
+        montecarlotwolevel.cc:62-63 — this is the same data parallelism
+        over devices)."""
         t0 = time.monotonic()
         k_prep, k_run = jax.random.split(key)
         cstate = self.coarse_sampler.prepare(k_prep, n_chains, dtype)
@@ -139,6 +143,9 @@ class MonteCarloTwoLevel:
         st_cs = self.stats_cs.init(n_chains, rdtype)
         t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
         carry = (cstate, tl, st_f, st_c, st_d, st_cs, t_accum)
+        if mesh is not None:
+            from mlmcpathintegral_tpu.parallel import shard_chains
+            carry = shard_chains(mesh, carry)
 
         n_accepted = 0
         n_done = 0

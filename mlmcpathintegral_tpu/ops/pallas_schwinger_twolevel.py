@@ -341,6 +341,11 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
     seed1 = seed_ref[0].astype(jnp.uint32)
     seed2 = seed_ref[1].astype(jnp.uint32)
 
+    # NOTE on ranks: every per-chain quantity is kept RANK-2 [1, C]
+    # inside the kernel — rank-1 [C] values in the fori_loop carry trip
+    # Mosaic's vector-layout inference (VectorLayout::join check
+    # 'arr.size() >= layout_rank', observed on v5e) — whereas [1, C]
+    # rows infer cleanly like the QoI traces of the chain kernels.
     def body(s, carry):
         f, Tc, Xc, S_f, S_q = carry
         rng = CounterRng(seed1, site, chain, seed2, step=s)
@@ -357,41 +362,42 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
         trial, fill_ok = prolongate_fill(
             rng, Tc, Xc, beta, log_i0_2beta, sigma_beta,
             k_rej, k_rej_bessel, sh, dtype)
+        fill_ok = fill_ok[None]                                # [1, C]
 
         # ---- the three dS terms (twolevelmetropolisstep.cc:35-89) ----
-        S_f_trial = s_fine(trial, beta, sh)
+        S_f_trial = s_fine(trial, beta, sh)[None]
         Tc_r, Xc_r = restrict_comps(f)
         dS_coarse = (s_coarse(Tc_r, Xc_r, beta_c, sh)
-                     - s_coarse(Tc, Xc, beta_c, sh))
-        S_q_trial = s_cond(trial, beta, alphas, sh)
+                     - s_coarse(Tc, Xc, beta_c, sh))[None]
+        S_q_trial = s_cond(trial, beta, alphas, sh)[None]
         dS = (S_f_trial - S_f) + dS_coarse + (S_q - S_q_trial)
 
-        u_acc = rng.uniform(dtype)[0, 0]                       # [C]
+        u_acc = rng.uniform(dtype)[0:1, 0]                     # [1, C]
         accept = jnp.logical_and(
             fill_ok, jnp.logical_or(dS < 0.0, u_acc < jnp.exp(-dS)))
 
-        f = tuple(jnp.where(accept[None, None, :], t_new, t_old)
+        f = tuple(jnp.where(accept, t_new, t_old)
                   for t_new, t_old in zip(trial, f))
         S_f = jnp.where(accept, S_f_trial, S_f)
         S_q = jnp.where(accept, S_q_trial, S_q)
 
         # ---- emit Y = Q_fine - Q_coarse and accept bits ----
-        qf = q_topological(f, sh)
-        qc = q_coarse(Tc, Xc, sh)
-        y_ref[pl.ds(s, 1)] = (FOURPI2_INV * (qf * qf - qc * qc))[None]
-        acc_ref[pl.ds(s, 1)] = accept.astype(dtype)[None]
+        qf = q_topological(f, sh)[None]
+        qc = q_coarse(Tc, Xc, sh)[None]
+        y_ref[pl.ds(s, 1)] = FOURPI2_INV * (qf * qf - qc * qc)
+        acc_ref[pl.ds(s, 1)] = accept.astype(dtype)
         return f, Tc, Xc, S_f, S_q
 
     f0 = tuple(fine_ref[k] for k in range(8))
     carry = (f0, coarse_ref[0], coarse_ref[1],
-             scache_ref[0], scache_ref[1])
+             scache_ref[pl.ds(0, 1)], scache_ref[pl.ds(1, 1)])
     f, Tc, Xc, S_f, S_q = jax.lax.fori_loop(0, n_steps, body, carry)
     for k in range(8):
         fine_out[k] = f[k]
     coarse_out[0] = Tc
     coarse_out[1] = Xc
-    scache_out[0] = S_f
-    scache_out[1] = S_q
+    scache_out[pl.ds(0, 1)] = S_f
+    scache_out[pl.ds(1, 1)] = S_q
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -62,14 +62,18 @@ class OverrelaxedHeatBathSampler(Sampler):
             from mlmcpathintegral_tpu.models.qft.schwinger import (
                 QuenchedSchwingerAction,
             )
+            from mlmcpathintegral_tpu.models.rotor import RotorAction
             if type(action) is QuenchedSchwingerAction:
                 self._pallas_kind = "schwinger"
             elif (type(action) is GFFAction and action.n_gibbs_smooth == 0
                   and not action.lattice.rotated):
                 self._pallas_kind = "gff"
+            elif type(action) is RotorAction:
+                self._pallas_kind = "rotor"
             else:
                 raise ValueError("use_pallas requires the quenched "
-                                 "Schwinger action or the plain GFF")
+                                 "Schwinger action, the plain GFF or the "
+                                 "rotor")
 
     def init(self, key, n_chains, dtype=None):
         dtype = dtype or default_dtype()
@@ -110,6 +114,16 @@ class OverrelaxedHeatBathSampler(Sampler):
                 x = schwinger_sweep(
                     x, seed, beta=self.action.beta,
                     Mt=lat.Mt_lat, Mx=lat.Mx_lat,
+                    n_overrelax=self.n_sweep_overrelax,
+                    n_heatbath=self.n_sweep_heatbath,
+                    block_chains=block)
+            elif self._pallas_kind == "rotor":
+                from mlmcpathintegral_tpu.ops.pallas_rotor import (
+                    rotor_sweep,
+                )
+                x = rotor_sweep(
+                    x, seed, kappa=self.action.m0 / self.action.a_lat,
+                    M=lat.M_lat,
                     n_overrelax=self.n_sweep_overrelax,
                     n_heatbath=self.n_sweep_heatbath,
                     block_chains=block)
@@ -162,6 +176,19 @@ class OverrelaxedHeatBathSampler(Sampler):
         """
         from mlmcpathintegral_tpu.utils.special import mod_2pi
         x = state.x
+        if self.use_pallas and self._pallas_kind == "rotor":
+            from mlmcpathintegral_tpu.ops.pallas_rotor import (
+                rotor_sweep_chain,
+            )
+            seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
+                                      dtype=jnp.int32)
+            x, wsum = rotor_sweep_chain(
+                x, seed, kappa=self.action.m0 / self.action.a_lat,
+                M=self.action.lattice.M_lat, n_steps=n_steps,
+                n_overrelax=self.n_sweep_overrelax,
+                n_heatbath=self.n_sweep_heatbath,
+                block_chains=self._pallas_block(x))
+            return HeatBathState(x=x), wsum
         if self.use_pallas and self._pallas_kind == "schwinger":
             from mlmcpathintegral_tpu.ops.pallas_schwinger import (
                 schwinger_sweep_chain,
