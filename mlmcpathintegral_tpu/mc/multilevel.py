@@ -123,8 +123,11 @@ class MonteCarloMultiLevel:
                 n_burnin=self.n_burnin)
 
     def _pallas_block(self, n_chains: int, ndof: int) -> int:
+        """Largest power-of-two chain block with the two-level kernel's
+        resident set (~2x ndof elements with temporaries) inside VMEM
+        (16 MB/core, f32)."""
         block = 1024
-        while block * ndof > (1 << 19) and block > 8:
+        while block * ndof > (1 << 21) and block > 8:
             block //= 2
         while n_chains % block:
             block //= 2

@@ -156,10 +156,11 @@ class OverrelaxedHeatBathSampler(Sampler):
 
     def _pallas_block(self, x):
         """Largest power-of-two chain block whose per-block state stays
-        well inside VMEM alongside the kernel's temporaries."""
+        well inside VMEM alongside the kernel's temporaries (the sweep
+        kernels keep ~4-6 field-sized temporaries live)."""
         ndof = x.shape[-1]
         block = 1024
-        while block * ndof > (1 << 19) and block > 8:
+        while block * ndof > (1 << 20) and block > 8:
             block //= 2
         while x.shape[0] % block:
             block //= 2

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Reference-scale Schwinger MLMC study (VERDICT r1 item 3).
+
+Two experiments, each emitting a CSV row per configuration:
+
+  * --scale: full MLMC at growing lattice sizes (16x16 .. 128x128) with
+    a 3-level hierarchy and nonperturbative beta matching — per-level
+    costs, t_sub, oracle deviation and effective samples/s.
+  * --epsilon: adaptive-target MLMC (n_samples=0) at 16x16 over an
+    epsilon sweep — total cost vs epsilon, reproducing the
+    O(epsilon^-2) scaling of montecarlomultilevel.cc's allocation
+    (README.md:15-18's asymptotic-cost claim).
+
+Runs on whatever backend is default (the real chip under the axon
+plugin; pass --interpret for the CPU interpret-mode kernels).
+
+Usage:
+  python tools/schwinger_scale_study.py --scale --csv docs/scale_study.csv
+  python tools/schwinger_scale_study.py --epsilon --csv docs/eps_study.csv
+"""
+
+import argparse
+import csv
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
+             epsilon=1e-2, n_chains=1024, chunk_size=256,
+             use_pallas=True, interpret=False, block_chains=None,
+             seed=0):
+    from mlmcpathintegral_tpu.conditioned.schwinger import (
+        make_schwinger_conditioned_fine_action,
+    )
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.mc import MonteCarloMultiLevel
+    from mlmcpathintegral_tpu.models.base import RenormalisationType
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+
+    lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(
+        lat, beta=beta, renormalisation=RenormalisationType.NONPERTURBATIVE)
+    mc = MonteCarloMultiLevel(
+        act, qoi_2d_susceptibility,
+        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+            a, n_burnin=100),
+        conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
+        n_level=n_level, n_burnin=200, n_samples=n_samples,
+        epsilon=epsilon, chunk_size=chunk_size,
+        use_pallas=use_pallas, pallas_interpret=interpret)
+    t0 = time.monotonic()
+    stats = mc.evaluate(jax.random.PRNGKey(seed), n_chains=n_chains,
+                        dtype=jnp.float32)
+    wall = time.monotonic() - t0
+    num, err = mc.numerical_result(), mc.statistical_error()
+    oracle = act.chit_exact()
+    tau0 = mc.stats_qoi[0].tau_int(stats[0])
+    n0 = mc.stats_qoi[0].samples(stats[0])
+    method_wall = max(wall - mc.timings["prepare_s"], 1e-9)
+    return {
+        "Mt": Mt, "Mx": Mx, "beta": beta, "n_level": n_level,
+        "epsilon": epsilon if n_samples == 0 else "",
+        "n_samples_level0": n0,
+        "chit": round(num, 6), "err": round(err, 6),
+        "oracle": round(oracle, 6),
+        "sigma_dev": round(abs(num - oracle) / err, 2),
+        "tau0": round(tau0, 3),
+        "t_sub": "/".join(map(str, mc._t_sub)),
+        "cost_us": "/".join(f"{c:.3f}" for c in mc.cost_per_sample),
+        "n_target": "/".join(map(str, mc.n_target)),
+        "wall_s": round(wall, 2),
+        "method_wall_s": round(method_wall, 2),
+        "sampling_s": round(mc.timings["sampling_s"], 2),
+        "eff_samples_per_sec": round(n0 / (tau0 * method_wall), 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", action="store_true")
+    ap.add_argument("--epsilon", action="store_true")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret-mode kernels (no chip)")
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--n-chains", type=int, default=1024)
+    ap.add_argument("--n-samples", type=int, default=1_000_000)
+    ap.add_argument("--sizes", default="16,32,64")
+    ap.add_argument("--epsilons", default="2e-2,1e-2,5e-3,2.5e-3")
+    args = ap.parse_args()
+
+    rows = []
+    if args.scale:
+        for M in [int(s) for s in args.sizes.split(",")]:
+            r = run_mlmc(M, M, n_level=3, n_samples=args.n_samples,
+                         n_chains=args.n_chains,
+                         interpret=args.interpret)
+            print(r, flush=True)
+            rows.append(r)
+    if args.epsilon:
+        for eps in [float(s) for s in args.epsilons.split(",")]:
+            r = run_mlmc(16, 16, n_level=3, n_samples=0, epsilon=eps,
+                         n_chains=args.n_chains,
+                         interpret=args.interpret)
+            print(r, flush=True)
+            rows.append(r)
+    if args.csv and rows:
+        with open(args.csv, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[0]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
+
+
+if __name__ == "__main__":
+    main()
