@@ -470,6 +470,68 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
     }
 
 
+def bench_gff_twolevel():
+    """Two-level GFF <phi^2> with the hierarchical fill-in (BASELINE
+    config 4, baselines/configs/ref_qft_gff_twolevel.in: 16x16 rotated
+    coarsening, mass 10, heat-bath coarse sampler) vs the spectral
+    oracle gff_phi_squared_analytical (driver_qft.cc:280-316);
+    vs_baseline compares eff samples/s of the DIFFERENCE estimator
+    against the real reference run (same formula as
+    baselines/run_ref_baselines.py: n / (tau_delta * method_wall)),
+    core-scaled (the reference parallelises two-level over MPI ranks,
+    montecarlotwolevel.cc:62-63)."""
+    from mlmcpathintegral_tpu.conditioned.gff import GFFConditionedFineAction
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.mc import MonteCarloTwoLevel
+    from mlmcpathintegral_tpu.models.qft import GFFAction
+    from mlmcpathintegral_tpu.qoi import qoi_2d_phi_squared
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+
+    C = 4096
+    lat = Lattice2D(16, 16, CoarseningType.ROTATE)
+    act = GFFAction(lat, mass=10.0)
+    mc = MonteCarloTwoLevel(
+        act, qoi_2d_phi_squared,
+        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+            a, n_sweep_heatbath=1, n_sweep_overrelax=1, n_burnin=100),
+        conditioned_fine_action_factory=GFFConditionedFineAction,
+        n_burnin=100, n_samples=200 * C, chunk_size=64,
+        n_autocorr_window=40, n_coarse_autocorr_window=40,
+        n_fine_autocorr_window=40, n_delta_autocorr_window=40)
+    # warm the jit cache so the measured run is the method, not XLA
+    mc.n_samples, real_n = 2 * C, mc.n_samples
+    mc.evaluate_difference(jax.random.PRNGKey(4), n_chains=C,
+                           dtype=jnp.float32)
+    mc.n_samples = real_n
+    stats = mc.evaluate_difference(jax.random.PRNGKey(5), n_chains=C,
+                                   dtype=jnp.float32)
+    wall = mc.elapsed_s
+    fine_avg = mc.stats_fine.average(stats["fine"])
+    fine_err = mc.stats_fine.error(stats["fine"])
+    oracle = act.phi_squared_analytical()
+    n_diff = mc.stats_diff.samples(stats["diff"])
+    tau_d = mc.stats_diff.tau_int(stats["diff"])
+    eff = n_diff / (tau_d * wall)
+    base = _ref_eff("gff_twolevel", core_scaled=True)
+    return {
+        "bench": "gff_twolevel", "Mt": 16, "Mx": 16, "mass": 10.0,
+        "coarsening": "rotate", "n_chains": C,
+        "avg_phi2": round(fine_avg, 6), "err": round(fine_err, 6),
+        "oracle_phi2": round(oracle, 6),
+        "sigma_dev": round(abs(fine_avg - oracle) / fine_err, 2),
+        "delta_var_over_fine_var": round(
+            mc.stats_diff.variance(stats["diff"])
+            / mc.stats_fine.variance(stats["fine"]), 4),
+        "p_accept": round(mc.p_accept, 4),
+        "tau_int_delta": round(tau_d, 3),
+        "t_indep": round(mc.t_indep, 2),
+        "wall_s": round(wall, 2),
+        "samples_per_sec": round(n_diff / wall, 1),
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(eff / base, 2) if base else None,
+    }
+
+
 def bench_rotor(use_pallas: bool):
     """Topological rotor chi_t at M=64 (BASELINE config 3): the cluster
     sampler (reference's choice — flat tau_int in a) and, on TPU, the
@@ -585,6 +647,11 @@ def main():
         rot = bench_rotor(use_pallas=on_tpu)
     except Exception as e:
         rot = {"error": repr(e)[:200]}
+    gff = None
+    try:
+        gff = bench_gff_twolevel()
+    except Exception as e:
+        gff = {"error": repr(e)[:200]}
     result = {
         "metric": "mlmc_effective_samples_per_sec_per_chip",
         "value": mlmc["eff_samples_per_sec"],
@@ -597,6 +664,7 @@ def main():
             "schwinger_pallas": pal,
             "harmonic": har,
             "rotor": rot,
+            "gff_twolevel": gff,
             "backend": _BACKEND,
         },
     }

@@ -124,10 +124,13 @@ class MonteCarloMultiLevel:
 
     def _pallas_block(self, n_chains: int, ndof: int) -> int:
         """Largest power-of-two chain block with the two-level kernel's
-        resident set (~2x ndof elements with temporaries) inside VMEM
-        (16 MB/core, f32)."""
+        resident set inside the 16 MB scoped-VMEM limit.  Measured on
+        v5e: the fused two-level kernel's scoped allocation is ~17.9
+        bytes per estimated element (16x16, block 1024 -> 23.4 MB), so
+        the element budget is 16 MB / 17.9 B ~ 0.9M; 768k leaves
+        headroom for Mosaic's stack padding."""
         block = 1024
-        while block * ndof > (1 << 21) and block > 8:
+        while block * ndof > 768 * 1024 and block > 8:
             block //= 2
         while n_chains % block:
             block //= 2

@@ -110,8 +110,20 @@ class GFFAction(Action):
     # -- heat bath / overrelaxation (checkerboard) -----------------------------
 
     def heatbath_sweep(self, key, phi):
-        """One red/black heat-bath sweep on the 5-point stencil:
-        phi_ell ~ N(Delta/(4+mu2), 1/(4+mu2)) (gffaction.cc:33-42)."""
+        """One heat-bath sweep.  Unsmoothed: red/black on the 5-point
+        stencil, phi_ell ~ N(Delta/(4+mu2), 1/(4+mu2)) (gffaction.cc:33-42).
+        Gibbs-smoothed (the coarse level): the smoothed precision Q_hat is
+        dense, so the sweep is a sequential single-site Gibbs scan w.r.t.
+        Q_hat — the reference sweeps the PLAIN stencil here too
+        (gffaction.cc:33-42 has no smoothed branch), which samples a
+        different distribution than the smoothed ``evaluate`` used in the
+        two-level acceptance ratio and measurably biases the screened fine
+        chain (its own gff_twolevel baseline log shows fine <phi^2> =
+        0.302 vs its printed analytical 0.338); the Q_hat sweep keeps
+        draw and evaluate consistent, so the two-level estimator stays
+        unbiased."""
+        if self.n_gibbs_smooth > 0:
+            return self._dense_gibbs_sweep(key, phi, overrelax=False)
         kappa = 4.0 + self.mu2
         sigma = 1.0 / math.sqrt(kappa)
         for colour, k in zip(self._colour_masks, jax.random.split(key)):
@@ -121,12 +133,50 @@ class GFFAction(Action):
         return phi
 
     def overrelaxation_sweep(self, phi):
-        """phi_ell -> 2 Delta/(4+mu2) - phi_ell (gffaction.cc:68-78)."""
+        """phi_ell -> 2 Delta/(4+mu2) - phi_ell (gffaction.cc:68-78);
+        smoothed actions reflect around the Q_hat conditional mean (see
+        heatbath_sweep)."""
+        if self.n_gibbs_smooth > 0:
+            return self._dense_gibbs_sweep(None, phi, overrelax=True)
         kappa = 4.0 + self.mu2
         for colour in self._colour_masks:
             delta = self._nbsum(phi)[..., colour]
             phi = phi.at[..., colour].set(2.0 * delta / kappa
                                           - phi[..., colour])
+        return phi
+
+    def _dense_gibbs_sweep(self, key, phi, *, overrelax: bool):
+        """Sequential site-by-site Gibbs (or overrelaxation) sweep for the
+        dense smoothed precision Q_hat: phi_i | rest ~
+        N(-sum_{j!=i} Qhat_ij phi_j / Qhat_ii, 1/Qhat_ii).  A lax.scan of
+        N rank-1 updates on the [chains, N] field — the coarse lattice is
+        small, so this stays cheap next to the fine-level kernels."""
+        Qhat = jnp.asarray(self._Q_hat, phi.dtype)
+        diag = jnp.diagonal(Qhat)
+        N = phi.shape[-1]
+        if overrelax:
+            xs = jnp.arange(N)
+        else:
+            noise = jax.random.normal(key, (N,) + phi.shape[:-1], phi.dtype)
+            xs = (jnp.arange(N), noise)
+
+        def body(phi, inp):
+            if overrelax:
+                i = inp
+            else:
+                i, xi = inp
+            row = Qhat[i]
+            qii = diag[i]
+            delta = jnp.tensordot(phi, row, axes=(-1, 0)) \
+                - phi[..., i] * qii
+            mean = -delta / qii
+            if overrelax:
+                new = 2.0 * mean - phi[..., i]
+            else:
+                new = mean + xi / jnp.sqrt(qii)
+            return phi.at[..., i].set(new), None
+
+        phi, _ = jax.lax.scan(body, phi, xs)
         return phi
 
     # -- multigrid transfer ----------------------------------------------------

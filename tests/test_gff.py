@@ -99,6 +99,38 @@ def test_overrelaxation_preserves_distribution():
     assert phi2 == pytest.approx(act.phi_squared_analytical(), rel=2e-2)
 
 
+def test_smoothed_heatbath_targets_Q_hat():
+    """The heat-bath sweep of a Gibbs-smoothed action must sample
+    N(0, Q_hat^-1) — with the plain 5-point stencil sweep (what the
+    reference uses even for its smoothed coarse action, gffaction.cc:33-42)
+    the chain converges to the UNsmoothed distribution instead and the
+    two-level acceptance ratio is computed against a different proposal
+    density (the bias is visible in the reference's own gff_twolevel
+    baseline log: fine <phi^2> 0.302 vs analytical 0.338)."""
+    lat = Lattice2D(6, 6, CoarseningType.BOTH)
+    act = GFFAction(lat, mass=4.0, n_gibbs_smooth=2, omega=1.0)
+    expect = np.trace(np.linalg.inv(act._Q_hat)) / lat.nvertices
+    naive = np.trace(np.linalg.inv(act._Q_precision)) / lat.nvertices
+    assert abs(expect - naive) > 0.05 * abs(expect)  # test discriminates
+    key = jax.random.PRNGKey(10)
+    phi = jnp.zeros((20_000, lat.nvertices), jnp.float64)  # cold start
+    for k in range(8):
+        phi = act.heatbath_sweep(jax.random.fold_in(key, k), phi)
+    phi2 = float(jnp.mean(phi * phi))
+    assert phi2 == pytest.approx(expect, rel=2e-2)
+    assert phi2 != pytest.approx(naive, rel=2e-2)
+
+
+def test_smoothed_overrelaxation_preserves_Q_hat():
+    lat = Lattice2D(6, 6, CoarseningType.BOTH)
+    act = GFFAction(lat, mass=4.0, n_gibbs_smooth=2, omega=1.0)
+    phi = act.exact_draw(jax.random.PRNGKey(11), 20_000, jnp.float64)
+    phi = act.overrelaxation_sweep(phi)
+    expect = np.trace(np.linalg.inv(act._Q_hat)) / lat.nvertices
+    phi2 = float(jnp.mean(phi * phi))
+    assert phi2 == pytest.approx(expect, rel=2e-2)
+
+
 def test_prolongate_restrict_roundtrip():
     lat = Lattice2D(8, 8, CoarseningType.ROTATE)
     act = GFFAction(lat, mass=1.0)
