@@ -50,6 +50,11 @@ def _setup_backend() -> str:
 
 _BACKEND = _setup_backend()
 
+# TPU matmul units default to bf16 passes for f32 operands; the MC
+# acceptance ratios need full f32 everywhere (a bf16 einsum in the GFF
+# smoothed action biased the screened chain ~9 sigma — VERDICT r2 item 3)
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # Persistent compilation cache: the MLMC kernels (nested scan/while programs)
 # take tens of seconds to compile on first use; cache them across runs.
 try:
@@ -402,7 +407,8 @@ def bench_schwinger(use_pallas: bool = False):
 
 
 def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
-                         n_chains: int = 1024, chunk_size: int = 64):
+                         n_chains: int = 1024, chunk_size: int = 64,
+                         n_repeat: int = 1):
     """Full multilevel Schwinger susceptibility — the BASELINE.json
     north-star configuration (matches baselines/configs/
     ref_qft_schwinger_mlmc.in): estimate vs analytic oracle, wall-clock,
@@ -431,42 +437,59 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
         n_level=2, n_burnin=100, n_samples=N_SAMPLES,
         chunk_size=(256 if use_pallas else chunk_size),
         use_pallas=use_pallas)
-    stats = mc.evaluate(jax.random.PRNGKey(2), n_chains=C,
-                        dtype=jnp.float32)
-    num = mc.numerical_result()
-    err = mc.statistical_error()
-    oracle = act.chit_exact()
-    tau0 = mc.stats_qoi[0].tau_int(stats[0])
-    n0 = mc.stats_qoi[0].samples(stats[0])
-    wall = mc.elapsed_s
-    sampling = max(mc.timings["sampling_s"], 1e-9)
-    # method wall excludes the prepare phase (jit compiles + initial
-    # state construction) — the same scope as the reference's own
-    # per-level cost breakdown, which excludes its constructors'
-    # self-timing draws (montecarlomultilevel.cc:207-252; the recorded
-    # ref_baselines.json eff uses that breakdown's total)
-    method_wall = max(wall - mc.timings["prepare_s"], 1e-9)
-    eff = n0 / (tau0 * method_wall)
+    runs = []
     base = _ref_eff("schwinger_mlmc", core_scaled=False)
+    oracle = act.chit_exact()
+    for rep in range(n_repeat):
+        stats = mc.evaluate(jax.random.PRNGKey(2 + rep), n_chains=C,
+                            dtype=jnp.float32)
+        num = mc.numerical_result()
+        err = mc.statistical_error()
+        tau0 = mc.stats_qoi[0].tau_int(stats[0])
+        n0 = mc.stats_qoi[0].samples(stats[0])
+        wall = mc.elapsed_s
+        sampling = max(mc.timings["sampling_s"], 1e-9)
+        # the method wall is the per-level sampling work (cost-probe
+        # chunks record real samples, so they are part of it) — the SAME
+        # scope as the reference number: ref_baselines.json
+        # schwinger_mlmc eff uses the per-level cost breakdown total,
+        # which excludes burn-in and constructor self-timing
+        # (montecarlomultilevel.cc:207-252, run_ref_baselines.py:105-110).
+        # JIT compile phases are excluded like the reference's cmake
+        # build; they are reported per phase in "timings".
+        method_wall = max(mc.timings["cost_measure_s"] + sampling, 1e-9)
+        eff = n0 / (tau0 * method_wall)
+        runs.append({
+            "chit": round(num, 5), "err": round(err, 5),
+            "sigma_dev": round(abs(num - oracle) / err, 2),
+            "tau_int_Y0": round(tau0, 3),
+            "t_sub": list(mc._t_sub),
+            "wall_s": round(wall, 2),
+            "method_wall_s": round(method_wall, 3),
+            "timings": {k: round(v, 2) for k, v in mc.timings.items()},
+            "cost_per_sample_us": [round(c, 3)
+                                   for c in mc.cost_per_sample],
+            "sampling_samples_per_sec": round(2 * N_SAMPLES / sampling, 1),
+            "eff_samples_per_sec": round(eff, 1),
+            "eff_samples_per_sec_incl_all_phases": round(
+                n0 / (tau0 * wall), 1),
+        })
+    effs = sorted(r["eff_samples_per_sec"] for r in runs)
+    med = effs[len(effs) // 2]
+    worst_sigma = max(r["sigma_dev"] for r in runs)
     return {
         "bench": ("schwinger_mlmc_pallas" if use_pallas
                   else "schwinger_mlmc"),
         "Mt": 8, "Mx": 8, "beta": 4.0,
         "n_level": 2, "n_chains": C, "n_samples_per_level": N_SAMPLES,
-        "chit": round(num, 5), "err": round(err, 5),
+        "eff_samples_per_sec": med,
+        "eff_median": med, "eff_min": effs[0], "eff_max": effs[-1],
+        "n_runs": len(effs),
+        "chit": runs[-1]["chit"], "err": runs[-1]["err"],
         "oracle_chit": round(oracle, 5),
-        "sigma_dev": round(abs(num - oracle) / err, 2),
-        "tau_int_Y0": round(tau0, 3),
-        "t_sub": list(mc._t_sub),
-        "wall_s": round(wall, 2),
-        "method_wall_s": round(method_wall, 2),
-        "timings": {k: round(v, 2) for k, v in mc.timings.items()},
-        "cost_per_sample_us": [round(c, 3) for c in mc.cost_per_sample],
-        "samples_per_sec": round(2 * N_SAMPLES / wall, 1),
-        "sampling_samples_per_sec": round(2 * N_SAMPLES / sampling, 1),
-        "eff_samples_per_sec": round(eff, 1),
-        "eff_samples_per_sec_incl_prepare": round(n0 / (tau0 * wall), 1),
-        "vs_baseline": round(eff / base, 2) if base else None,
+        "sigma_dev": worst_sigma,
+        "vs_baseline": round(med / base, 2) if base else None,
+        "runs": runs,
     }
 
 
@@ -617,6 +640,18 @@ def bench_rotor(use_pallas: bool):
     }
 
 
+def _gate(row):
+    """Mark a benchmark row failed when it disagrees with its analytic
+    oracle by more than 3 sigma (VERDICT r2 item 3): a benchmark that
+    advertises its own inconsistency is not quotable."""
+    if not isinstance(row, dict):
+        return row
+    sd = row.get("sigma_dev")
+    if sd is not None and sd > 3.0:
+        row["failed"] = f"sigma_dev {sd} > 3"
+    return row
+
+
 def main():
     # the first benchmark in the process gets the clean device (the tunnel
     # penalises later dispatch streams) — run the north star first
@@ -626,9 +661,10 @@ def main():
         try:
             # chip-scale sample budget: the fused kernels sample at
             # ~0.35 us/draw, so 4M draws/level keeps the sampling phase
-            # dominant over the (cache-amortised) compile phases
+            # dominant; median of 3 repeats in one process (runs 2-3 are
+            # compile-warm — VERDICT r2 item 6)
             mlmc = bench_schwinger_mlmc(use_pallas=True,
-                                        n_samples=4_000_000)
+                                        n_samples=4_000_000, n_repeat=3)
         except Exception as e:     # never lose the headline to the variant
             mlmc = {"error": repr(e)[:300]}
     if not mlmc or "eff_samples_per_sec" not in mlmc:
@@ -652,23 +688,36 @@ def main():
         gff = bench_gff_twolevel()
     except Exception as e:
         gff = {"error": repr(e)[:200]}
-    result = {
-        "metric": "mlmc_effective_samples_per_sec_per_chip",
-        "value": mlmc["eff_samples_per_sec"],
-        "unit": "eff_samples/s",
-        "vs_baseline": mlmc["vs_baseline"],
-        "detail": {
-            "headline": mlmc["bench"],
-            "schwinger_mlmc": mlmc,
-            "schwinger": sch,
-            "schwinger_pallas": pal,
-            "harmonic": har,
-            "rotor": rot,
-            "gff_twolevel": gff,
-            "backend": _BACKEND,
-        },
+    detail = {
+        "headline": mlmc.get("bench"),
+        "schwinger_mlmc": _gate(mlmc),
+        "schwinger": _gate(sch),
+        "schwinger_pallas": _gate(pal),
+        "harmonic": _gate(har),
+        "rotor": _gate(rot),
+        "gff_twolevel": _gate(gff),
+        "backend": _BACKEND,
     }
-    print(json.dumps(result))
+    # full detail on disk; ONLY a compact driver-parseable line on the
+    # LAST stdout line (VERDICT r2 item 2 — the reference driver prints
+    # its oracle comparison last too, driver_qft.cc:441-455)
+    (REPO / "BENCH_detail.json").write_text(json.dumps(detail, indent=1))
+    headline = {
+        "metric": "mlmc_effective_samples_per_sec_per_chip",
+        "value": mlmc.get("eff_samples_per_sec"),
+        "unit": "eff_samples/s",
+        "vs_baseline": mlmc.get("vs_baseline"),
+        "sigma_dev": mlmc.get("sigma_dev"),
+        "eff_median_min_max_n": [mlmc.get("eff_median"),
+                                 mlmc.get("eff_min"), mlmc.get("eff_max"),
+                                 mlmc.get("n_runs")],
+        "secondary_vs_baseline": {
+            k: (detail[k] or {}).get("vs_baseline")
+            for k in ("schwinger_pallas", "harmonic", "rotor",
+                      "gff_twolevel")},
+        "detail_file": "BENCH_detail.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -59,7 +59,7 @@ class MonteCarloSingleLevel:
         self._qbar_history = []
 
         def _chunk_body(key, sampler_state, stats_state, n_active,
-                        with_states: bool):
+                        with_states: bool, with_qs: bool):
             """Advance chunk_size draws; record QoI only for the first
             n_active steps (montecarlosinglelevel.cc:58-77)."""
             def body(carry, inp):
@@ -77,38 +77,55 @@ class MonteCarloSingleLevel:
             idx = jnp.arange(self.chunk_size)
             (ss, st), outs = jax.lax.scan(
                 body, (sampler_state, stats_state), (keys, idx))
-            return (ss, st, jnp.sum(outs[0])) + tuple(outs[1:])
+            # cross-chain mean of the QoI trace, reduced on device: the
+            # binning cross-check only needs this [chunk] vector, not the
+            # full [chunk, C] trace (a per-chunk pull of which would
+            # serialise the dispatch pipeline on a tunnelled TPU)
+            qbar = jnp.mean(outs[1], axis=1)
+            full = tuple(outs[1:]) if with_qs else ()
+            return (ss, st, jnp.sum(outs[0]), qbar) + full
 
         import functools
         self._chunk_impl = jax.jit(
-            functools.partial(_chunk_body, with_states=False))
+            functools.partial(_chunk_body, with_states=False,
+                              with_qs=False))
+        #: LOG_QOI variant returning the full per-step QoI trace
+        self._chunk_impl_log = jax.jit(
+            functools.partial(_chunk_body, with_states=False,
+                              with_qs=True))
         #: SAVE_STATES variant additionally returning the per-step state
         #: trace [chunk, C, ndof] (only compiled when states are saved)
         self._chunk_impl_states = jax.jit(
-            functools.partial(_chunk_body, with_states=True))
+            functools.partial(_chunk_body, with_states=True,
+                              with_qs=True))
         self._log_fh = None
 
     def _chunk(self, key, sampler_state, stats_state, n_active,
                record_history=True):
         import numpy as np
         save = self.save_states_path is not None and record_history
+        log = self._log_fh is not None
         if save:
-            ss, st, n_acc, qs, xs = self._chunk_impl_states(
+            ss, st, n_acc, qbar, qs, xs = self._chunk_impl_states(
+                key, sampler_state, stats_state, n_active)
+        elif log:
+            ss, st, n_acc, qbar, qs = self._chunk_impl_log(
                 key, sampler_state, stats_state, n_active)
         else:
-            ss, st, n_acc, qs = self._chunk_impl(key, sampler_state,
-                                                 stats_state, n_active)
+            ss, st, n_acc, qbar = self._chunk_impl(key, sampler_state,
+                                                   stats_state, n_active)
         n = int(n_active)
-        if self._log_fh is not None:
+        if log:
             np.asarray(qs[:n]).astype(np.float64).tofile(self._log_fh)
         if record_history:
-            self._qbar_history.append(
-                np.asarray(qs[:n]).mean(axis=1).astype(np.float64))
+            # keep the [n] vector on device; pulled lazily by
+            # _tau_binning / at end of run
+            self._qbar_history.append(qbar[:n])
         if save:
             from pathlib import Path
             d = Path(self.save_states_path)
             d.mkdir(parents=True, exist_ok=True)
-            offset = sum(len(h) for h in self._qbar_history) - n
+            offset = sum(h.shape[0] for h in self._qbar_history) - n
             np.savez_compressed(d / f"states_{offset:08d}.npz",
                                 x=np.asarray(xs[:n]))
         return ss, st, n_acc
@@ -144,20 +161,25 @@ class MonteCarloSingleLevel:
         if self.qoi_log_path is not None:
             self._log_fh = open(self.qoi_log_path, "wb")
         two_eps_inv2 = 2.0 / (self.epsilon * self.epsilon)
-        n_accepted = 0
+        # accepted count accumulates on device; ``done`` is tracked
+        # host-side (each chunk records exactly n masked samples, so the
+        # counter equals stats.n by construction — no per-chunk pull)
+        n_accepted = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
+                               else jnp.int32)
         n_drawn = 0
+        done = 0
         while True:
             n_target = self._target(stats, two_eps_inv2)
             local_target = -(-n_target // n_chains)   # ceil
-            done = self.stats_Q.local_samples(stats)
             if done >= local_target:
                 break
             n = min(self.chunk_size, local_target - done)
             k_loop, sub = jax.random.split(k_loop)
             sstate, stats, n_acc = self._chunk(sub, sstate, stats, n)
-            n_accepted += int(n_acc)
+            n_accepted = n_accepted + n_acc
+            done += n
             n_drawn += self.chunk_size * n_chains
-        self.p_accept = n_accepted / max(n_drawn, 1)
+        self.p_accept = int(n_accepted) / max(n_drawn, 1)
         if self._log_fh is not None:
             self._log_fh.close()
             self._log_fh = None
@@ -184,7 +206,8 @@ class MonteCarloSingleLevel:
         from mlmcpathintegral_tpu.utils.native import binning_analysis
         if not self._qbar_history:
             return 1.0
-        series = np.concatenate(self._qbar_history)
+        series = np.concatenate(
+            [np.asarray(h, np.float64) for h in self._qbar_history])
         if series.size < 64:
             return 1.0
         n_levels = max(2, int(math.log2(series.size)) - 3)

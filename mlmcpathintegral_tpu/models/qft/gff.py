@@ -90,7 +90,11 @@ class GFFAction(Action):
         Gibbs-smoothed (gffaction.cc:7-29)."""
         if self.n_gibbs_smooth > 0:
             Qhat = jnp.asarray(self._Q_hat, phi.dtype)
-            return 0.5 * jnp.einsum("...i,ij,...j->...", phi, Qhat, phi)
+            # HIGHEST: TPU matmul units default to bf16 passes for f32
+            # operands; the acceptance ratio needs full f32 (a bf16
+            # einsum here biased the screened chain ~9 sigma on chip)
+            return 0.5 * jnp.einsum("...i,ij,...j->...", phi, Qhat, phi,
+                                    precision=jax.lax.Precision.HIGHEST)
         kappa = 4.0 + self.mu2
         return 0.5 * jnp.sum(phi * (kappa * phi - self._nbsum(phi)), axis=-1)
 
@@ -99,7 +103,8 @@ class GFFAction(Action):
         unsmoothed action."""
         if self.n_gibbs_smooth > 0:
             Qhat = jnp.asarray(self._Q_hat, phi.dtype)
-            return phi @ Qhat
+            return jnp.matmul(phi, Qhat,
+                              precision=jax.lax.Precision.HIGHEST)
         return (4.0 + self.mu2) * phi - self._nbsum(phi)
 
     def initialise_state(self, key, n_chains, dtype=None):
@@ -167,7 +172,8 @@ class GFFAction(Action):
                 i, xi = inp
             row = Qhat[i]
             qii = diag[i]
-            delta = jnp.tensordot(phi, row, axes=(-1, 0)) \
+            delta = jnp.tensordot(phi, row, axes=(-1, 0),
+                                  precision=jax.lax.Precision.HIGHEST) \
                 - phi[..., i] * qii
             mean = -delta / qii
             if overrelax:
@@ -300,7 +306,8 @@ class GFFAction(Action):
         z = jax.random.normal(key, (n_chains, lat.nvertices), dtype)
         if lat.rotated:
             Li = jnp.asarray(self._dense_sqrt_cov, dtype)
-            return z @ Li
+            return jnp.matmul(z, Li,
+                              precision=jax.lax.Precision.HIGHEST)
         Mt, Mx = lat.Mt_lat, lat.Mx_lat
         zg = z.reshape(n_chains, Mx, Mt)
         filt = jnp.asarray(self._spectral_sqrt_inv)
@@ -321,7 +328,9 @@ class GFFAction(Action):
             # off-diagonal row sums for this colour, from current phi
             Q_rows = jnp.asarray(Q_eff[colour], phi.dtype)
             d = jnp.asarray(D[colour], phi.dtype)
-            off = phi @ Q_rows.T - phi[..., colour] * d
+            off = jnp.matmul(phi, Q_rows.T,
+                             precision=jax.lax.Precision.HIGHEST) \
+                - phi[..., colour] * d
             mu = -off / d
             xi = jax.random.normal(k, mu.shape, phi.dtype)
             new = ((1.0 - om) * phi[..., colour] + om * mu
