@@ -508,15 +508,18 @@ def bench_gff_twolevel():
     from mlmcpathintegral_tpu.mc import MonteCarloTwoLevel
     from mlmcpathintegral_tpu.models.qft import GFFAction
     from mlmcpathintegral_tpu.qoi import qoi_2d_phi_squared
-    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+    from mlmcpathintegral_tpu.samplers import ExactSampler
 
     C = 4096
     lat = Lattice2D(16, 16, CoarseningType.ROTATE)
     act = GFFAction(lat, mass=10.0)
+    # coarse proposals from the EXACT smoothed-GFF sampler (the
+    # reference supports sampler='exact' for the GFF too,
+    # gffaction.hh:356-375): tau_int = 1 by construction and the dense
+    # rotated draw is one MXU matmul — no heat-bath chain to subsample
     mc = MonteCarloTwoLevel(
         act, qoi_2d_phi_squared,
-        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
-            a, n_sweep_heatbath=1, n_sweep_overrelax=1, n_burnin=100),
+        coarse_sampler_factory=ExactSampler,
         conditioned_fine_action_factory=GFFConditionedFineAction,
         n_burnin=100, n_samples=200 * C, chunk_size=64,
         n_autocorr_window=40, n_coarse_autocorr_window=40,
@@ -555,60 +558,42 @@ def bench_gff_twolevel():
     }
 
 
-def bench_rotor(use_pallas: bool):
-    """Topological rotor chi_t at M=64 (BASELINE config 3): the cluster
-    sampler (reference's choice — flat tau_int in a) and, on TPU, the
-    fused heat-bath chain kernel; vs_baseline compares against the real
-    reference cluster run (core-scaled)."""
-    import numpy as np
-
+def bench_rotor_cluster_M(M: int, n_chains: int = 4096, n_updates: int = 5):
+    """Topological rotor chi_t with the vectorised Wolff cluster sampler
+    (the reference's algorithm for this model — flat tau_int in a,
+    clustersampler.cc:92-132; r2 shipped a heat-bath chain with tau=34.7
+    instead, VERDICT r2 item 5).  Matches the baseline runs' physics
+    (baselines/logs/rotor_cluster_M*.in: T=4, m0=0.25)."""
     from mlmcpathintegral_tpu.lattice import Lattice1D
     from mlmcpathintegral_tpu.models.rotor import RotorAction
     from mlmcpathintegral_tpu.qoi import qoi_susceptibility
-    from mlmcpathintegral_tpu.samplers import (
-        ClusterSampler, OverrelaxedHeatBathSampler,
-    )
+    from mlmcpathintegral_tpu.samplers import ClusterSampler
     from mlmcpathintegral_tpu.utils import statistics as stats_mod
     from mlmcpathintegral_tpu.utils.statistics import Statistics
 
-    M, C = 64, 4096
+    C = n_chains
     dtype = jnp.float32
     lat = Lattice1D(M_lat=M, T_final=4.0)
     action = RotorAction(lat, m0=0.25)
+    sampler = ClusterSampler(action, n_burnin=100, n_updates=n_updates,
+                             vectorised=True)
+    qoi = qoi_susceptibility(action)
     stats = Statistics("chit", 40)
     key = jax.random.PRNGKey(3)
     k_prep, k_run = jax.random.split(key)
     STEPS = 128
 
-    if use_pallas:
-        sampler = OverrelaxedHeatBathSampler(
-            action, n_sweep_heatbath=1, n_sweep_overrelax=2,
-            n_burnin=200, use_pallas=True)
-        sstate = sampler.prepare(k_prep, C, dtype)
-        inv_t = 1.0 / lat.T_final
-        four_pi2_inv = 1.0 / (4.0 * np.pi ** 2)
+    sstate = jax.jit(lambda k: sampler.prepare(k, C, dtype))(k_prep)
 
-        @jax.jit
-        def chunk(key, sstate, stats_state):
-            sstate, wsum = sampler.draw_chain(key, sstate, STEPS)
-            y = four_pi2_inv * inv_t * wsum * wsum
-            return sstate, jax.lax.scan(
-                lambda st, yi: (stats_mod.record(st, yi), None),
-                stats_state, y)[0]
-    else:
-        sampler = ClusterSampler(action, n_burnin=100, n_updates=10)
-        sstate = sampler.prepare(k_prep, C, dtype)
-        qoi = qoi_susceptibility(action)
-
-        @jax.jit
-        def chunk(key, sstate, stats_state):
-            def body(carry, k):
-                ss, st = carry
-                ss, _ = sampler.draw(k, ss)
-                return (ss, stats_mod.record(st, qoi(ss.x))), None
-            keys = jax.random.split(key, STEPS)
-            (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
-            return ss, st
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def chunk(key, sstate, stats_state):
+        def body(carry, k):
+            ss, st = carry
+            ss, _ = sampler.draw(k, ss)
+            return (ss, stats_mod.record(st, qoi(ss.x))), None
+        keys = jax.random.split(key, STEPS)
+        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+        return ss, st
 
     stats_state = stats.init(C, dtype)
     k_run, sub = jax.random.split(k_run)
@@ -626,17 +611,37 @@ def bench_rotor(use_pallas: bool):
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
     eff = n_samples / wall / tau
-    base = _ref_eff("rotor_cluster_M64", core_scaled=True)
+    avg = stats.average(stats_state)
+    oracle = action.chit_exact()
+    err = stats.error(stats_state)
+    base = _ref_eff(f"rotor_cluster_M{M}", core_scaled=True)
     return {
-        "bench": ("rotor_heatbath_pallas" if use_pallas
-                  else "rotor_cluster"),
-        "M": M, "n_chains": C,
+        "bench": "rotor_cluster_vec", "M": M, "n_chains": C,
+        "n_updates": n_updates,
         "samples_per_sec": round(n_samples / wall, 1),
         "tau_int": round(tau, 3),
-        "avg_chit": round(stats.average(stats_state), 5),
-        "oracle_chit": round(action.chit_exact(), 5),
+        "avg_chit": round(avg, 5),
+        "err": round(err, 5),
+        "oracle_chit": round(oracle, 5),
+        "sigma_dev": round(abs(avg - oracle) / err, 2),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(eff / base, 2) if base else None,
+    }
+
+
+def bench_rotor(use_pallas: bool = True):
+    """Rotor chi_t across M = 64/128/256 with the cluster sampler, each
+    size vs its own reference baseline (rotor_cluster_M64/128/256);
+    headline vs_baseline = the minimum across sizes."""
+    rows = [bench_rotor_cluster_M(M) for M in (64, 128, 256)]
+    vs = [r["vs_baseline"] for r in rows if r["vs_baseline"]]
+    return {
+        "bench": "rotor_cluster_vec_M64_128_256",
+        "tau_int": [r["tau_int"] for r in rows],
+        "sigma_dev": max(r["sigma_dev"] for r in rows),
+        "eff_samples_per_sec": min(r["eff_samples_per_sec"] for r in rows),
+        "vs_baseline": round(min(vs), 2) if vs else None,
+        "sizes": rows,
     }
 
 

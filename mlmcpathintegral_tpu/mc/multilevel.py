@@ -123,15 +123,19 @@ class MonteCarloMultiLevel:
                 self.actions[-1], n_sweep_heatbath=1, n_sweep_overrelax=1,
                 n_burnin=self.n_burnin)
 
-    def _pallas_block(self, n_chains: int, ndof: int) -> int:
-        """Largest power-of-two chain block with the two-level kernel's
-        resident set inside the 16 MB scoped-VMEM limit.  Measured on
-        v5e: the fused two-level kernel's scoped allocation is ~17.9
-        bytes per estimated element (16x16, block 1024 -> 23.4 MB), so
-        the element budget is 16 MB / 17.9 B ~ 0.9M; 768k leaves
-        headroom for Mosaic's stack padding."""
+    def _pallas_block(self, n_chains: int, ndof: int,
+                      budget: int = 768 * 1024) -> int:
+        """Largest power-of-two chain block with the kernel's resident
+        set inside the 16 MB scoped-VMEM limit.  ``budget`` is the
+        per-kernel element budget: the fused two-level kernel's scoped
+        allocation is ~17.9 bytes per estimated element on v5e (16x16,
+        block 1024 -> 23.4 MB), so its budget is 16 MB / 17.9 B ~ 0.9M
+        with 768k leaving headroom for Mosaic's stack padding; the
+        single-level sweep kernel has a smaller footprint and passes a
+        larger budget (ADVICE r2: one shared threshold unnecessarily
+        halved the coarsest level's block)."""
         block = 1024
-        while block * ndof > 768 * 1024 and block > 8:
+        while block * ndof > budget and block > 8:
             block //= 2
         while n_chains % block:
             block //= 2
@@ -191,7 +195,11 @@ class MonteCarloMultiLevel:
         )
         cact = self.actions[-1]
         lat = cact.lattice
-        block = self._pallas_block(n_chains, lat.nedges)
+        # sweep kernel: field + per-step QoI trace only (~8 B/element
+        # scoped on v5e) — twice the two-level kernel's element budget
+        block = self._pallas_block(
+            n_chains, lat.nedges + self.chunk_size * t_sub,
+            budget=1536 * 1024)
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
         chunk_size = self.chunk_size
         interpret = self.pallas_interpret

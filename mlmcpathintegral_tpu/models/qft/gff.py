@@ -46,6 +46,16 @@ class GFFAction(Action):
         self.n_gibbs_smooth = int(n_gibbs_smooth)
         self.omega = float(omega)
         self.renormalisation = RenormalisationType.NONE
+        if self.n_gibbs_smooth > 0 and lattice.nvertices > 4096:
+            import warnings
+            warnings.warn(
+                f"GFFAction: n_gibbs_smooth={n_gibbs_smooth} on a "
+                f"{lattice.nvertices}-vertex lattice — the smoothed Q_hat "
+                f"is dense, so heat-bath/overrelaxation sweeps become an "
+                f"O(N^2) sequential Gibbs scan (_dense_gibbs_sweep).  The "
+                f"smoothed action is intended for COARSE levels "
+                f"(gffaction.hh:201-208); use n_gibbs_smooth=0 on fine "
+                f"lattices.", stacklevel=2)
         if lattice.rotated:
             self.a_lat = math.sqrt(2.0) / lattice.Mt_lat
         else:

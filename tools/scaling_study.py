@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Scaling measurements (VERDICT r2 item 8).
+
+Two modes:
+
+  --mesh   Weak-scaling of the SHARDED Schwinger two-level MLMC chunk on
+           a virtual CPU device mesh (1/2/4/8 devices, fixed per-device
+           chain count).  Indicative of the sharding/collective overhead
+           only — virtual CPU devices share host cores, so absolute
+           throughput is not chip throughput; the quantity of interest
+           is wall(n)/wall(1) at fixed per-device load (ideal = 1.0).
+           The chain axis is embarrassingly parallel (SURVEY.md §2.1) so
+           deviations are pure partitioning overhead.
+
+  --chains Chain-count-vs-throughput curve of the fused Pallas kernels
+           on the real chip (1k -> 16k chains): samples/s of the fused
+           two-level kernel and link-updates/s of the sweep kernel.
+
+Usage:
+  python tools/scaling_study.py --mesh   --csv docs/mesh_scaling.csv
+  python tools/scaling_study.py --chains --csv docs/chain_scaling.csv
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def run_mesh_scaling(per_device_chains=256, chunk_size=32, n_chunks=4):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    import jax
+    jax.config.update("jax_default_device",
+                      jax.local_devices(backend="cpu")[0])
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from mlmcpathintegral_tpu.conditioned.schwinger import (
+        make_schwinger_conditioned_fine_action,
+    )
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.mc import MonteCarloTwoLevel
+    from mlmcpathintegral_tpu.models.base import RenormalisationType
+    from mlmcpathintegral_tpu.models.qft.schwinger import (
+        QuenchedSchwingerAction,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+
+    devices = jax.local_devices(backend="cpu")
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        C = per_device_chains * n_dev
+        lat = Lattice2D(8, 8, CoarseningType.BOTH)
+        act = QuenchedSchwingerAction(
+            lat, beta=4.0,
+            renormalisation=RenormalisationType.NONPERTURBATIVE)
+        mc = MonteCarloTwoLevel(
+            act, qoi_2d_susceptibility,
+            coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+                a, n_sweep_heatbath=1, n_sweep_overrelax=1, n_burnin=20),
+            conditioned_fine_action_factory=(
+                make_schwinger_conditioned_fine_action),
+            n_burnin=20, n_samples=chunk_size * n_chunks * C,
+            chunk_size=chunk_size)
+        mesh = Mesh(np.array(devices[:n_dev]), ("chains",))
+        t0 = time.monotonic()
+        mc.evaluate_difference(jax.random.PRNGKey(0), n_chains=C,
+                               dtype=jnp.float64, mesh=mesh)
+        wall = time.monotonic() - t0
+        n = chunk_size * n_chunks * C
+        rows.append({
+            "n_devices": n_dev, "n_chains": C,
+            "per_device_chains": per_device_chains,
+            "n_samples": n, "wall_s": round(wall, 3),
+            "samples_per_sec": round(n / wall, 1),
+        })
+        print(rows[-1], flush=True)
+    w1 = rows[0]["wall_s"]
+    for r in rows:
+        r["weak_efficiency"] = round(w1 / r["wall_s"], 3)
+    return rows
+
+
+def run_chain_scaling():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parents[1]
+                          / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mlmcpathintegral_tpu.ops.pallas_schwinger import (
+        schwinger_sweep_chain,
+    )
+    from mlmcpathintegral_tpu.ops.pallas_schwinger_twolevel import (
+        schwinger_twolevel_chain,
+    )
+
+    rng = np.random.RandomState(0)
+    rows = []
+    STEPS = 256
+    for C in (1024, 2048, 4096, 8192, 16384):
+        xf = jnp.asarray(rng.uniform(-3, 3, (C, 128)).astype(np.float32))
+        xc = jnp.asarray(rng.uniform(-3, 3, (C, 32)).astype(np.float32))
+        s0 = jnp.zeros((C,), jnp.float32)
+        seed = jnp.asarray([1, 2], jnp.int32)
+
+        def tl():
+            return schwinger_twolevel_chain(
+                xf, xc, s0, s0, seed, beta=4.0, beta_c=1.06, Mt=8, Mx=8,
+                n_steps=STEPS, t_sub=4, block_chains=min(C, 1024))
+
+        out = tl(); jax.block_until_ready(out)          # compile+warm
+        t0 = time.monotonic()
+        out = tl(); jax.block_until_ready(out)
+        w_tl = time.monotonic() - t0
+
+        def sw():
+            return schwinger_sweep_chain(
+                xf, seed, beta=4.0, Mt=8, Mx=8, n_steps=STEPS,
+                block_chains=min(C, 1024))
+
+        out = sw(); jax.block_until_ready(out)
+        t0 = time.monotonic()
+        out = sw(); jax.block_until_ready(out)
+        w_sw = time.monotonic() - t0
+
+        rows.append({
+            "n_chains": C,
+            "twolevel_samples_per_sec": round(STEPS * C / w_tl, 1),
+            "twolevel_us_per_sample": round(w_tl / (STEPS * C) * 1e6, 4),
+            "sweep_link_updates_per_sec": round(
+                128 * STEPS * C / w_sw, 1),
+            "sweep_wall_s": round(w_sw, 4),
+        })
+        print(rows[-1], flush=True)
+    base = rows[0]["twolevel_samples_per_sec"] / rows[0]["n_chains"]
+    for r in rows:
+        r["chain_scaling_efficiency"] = round(
+            r["twolevel_samples_per_sec"] / r["n_chains"] / base, 3)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--chains", action="store_true")
+    ap.add_argument("--csv", default=None)
+    args = ap.parse_args()
+    rows = []
+    if args.mesh:
+        rows = run_mesh_scaling()
+    elif args.chains:
+        rows = run_chain_scaling()
+    if args.csv and rows:
+        with open(args.csv, "w", newline="") as fh:
+            w = csv.DictWriter(fh, fieldnames=list(rows[-1]))
+            w.writeheader()
+            w.writerows(rows)
+        print(f"wrote {args.csv}")
+
+
+if __name__ == "__main__":
+    main()

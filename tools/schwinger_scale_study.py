@@ -71,7 +71,11 @@ def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
     oracle = act.chit_exact()
     tau0 = mc.stats_qoi[0].tau_int(stats[0])
     n0 = mc.stats_qoi[0].samples(stats[0])
-    method_wall = max(wall - mc.timings["prepare_s"], 1e-9)
+    # per-level sampling work only — the scope of the reference's cost
+    # breakdown (montecarlomultilevel.cc:207-252); compiles and burn-in
+    # are reported separately in the timings column
+    method_wall = max(mc.timings["cost_measure_s"]
+                      + mc.timings["sampling_s"], 1e-9)
     return {
         "Mt": Mt, "Mx": Mx, "beta": beta, "n_level": n_level,
         "epsilon": epsilon if n_samples == 0 else "",
@@ -84,8 +88,9 @@ def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
         "cost_us": "/".join(f"{c:.3f}" for c in mc.cost_per_sample),
         "n_target": "/".join(map(str, mc.n_target)),
         "wall_s": round(wall, 2),
-        "method_wall_s": round(method_wall, 2),
+        "method_wall_s": round(method_wall, 3),
         "sampling_s": round(mc.timings["sampling_s"], 2),
+        "timings": "/".join(f"{k}={v:.2f}" for k, v in mc.timings.items()),
         "eff_samples_per_sec": round(n0 / (tau0 * method_wall), 1),
     }
 
