@@ -18,6 +18,7 @@ vs_baseline, core-scaled where the reference parallelises):
   * batched HMC on the M=64 harmonic oscillator
 """
 
+import functools
 import json
 import os
 import time
@@ -521,7 +522,7 @@ def bench_gff_twolevel():
         act, qoi_2d_phi_squared,
         coarse_sampler_factory=ExactSampler,
         conditioned_fine_action_factory=GFFConditionedFineAction,
-        n_burnin=100, n_samples=200 * C, chunk_size=64,
+        n_burnin=100, n_samples=1600 * C, chunk_size=256,
         n_autocorr_window=40, n_coarse_autocorr_window=40,
         n_fine_autocorr_window=40, n_delta_autocorr_window=40)
     # warm the jit cache so the measured run is the method, not XLA

@@ -30,11 +30,17 @@ def make_coarse_subsampler(coarse_sampler, qoi_coarse, t_max: int = 100):
     (key, coarse_state, stats_cs, t_accum) -> same, where t_accum
     accumulates (sum_t, n_indep) for the t_indep estimate."""
 
+    independent = getattr(coarse_sampler, "independent_draws", False)
+
     def draw_coarse_sample(key, cstate, stats_cs, t_accum):
-        two_tau = jnp.minimum(
-            float(t_max),
-            jnp.ceil(2.0 * stats_mod.tau_int_device(stats_cs)))
-        t = two_tau.astype(jnp.int32)
+        if independent:
+            # exact sampler: draws are iid, one per sample suffices
+            t = jnp.ones((), jnp.int32)
+        else:
+            two_tau = jnp.minimum(
+                float(t_max),
+                jnp.ceil(2.0 * stats_mod.tau_int_device(stats_cs)))
+            t = two_tau.astype(jnp.int32)
 
         def body(i, carry):
             cstate, stats_cs, key = carry

@@ -129,45 +129,39 @@ class ClusterSampler(Sampler):
         p_one = 1.0 - jnp.exp(jnp.minimum(0.0, s_orig))
         p_two = 1.0 - jnp.exp(jnp.minimum(0.0, -s_orig))
 
+        # everything in ABSOLUTE bond positions — per-chain gathers
+        # (take_along_axis) hit a catastrophic XLA path on TPU at
+        # M >= 128; masked min-reductions are uniformly fast
         cols = jnp.arange(M)[None, :]                            # [1, M]
-        # forward tests bonds (i0+k) in order k = 0..M-1; k = M-1 is the
-        # full-wrap link with both endpoints flipped
-        bond_fwd = (i0[:, None] + cols) % M                      # [C, M]
-        u_f = jax.random.uniform(k_fwd, (C, M), x.dtype)
-        p_f = jnp.take_along_axis(p_one, bond_fwd, axis=-1)
-        p_f = p_f.at[:, M - 1].set(
-            jnp.take_along_axis(p_two, bond_fwd[:, M - 1:M], axis=-1)[:, 0])
-        open_f = u_f < p_f
-        # F_raw = index of first closed forward bond (M if none)
-        closed_f = ~open_f
-        F_raw = jnp.where(jnp.any(closed_f, axis=-1),
-                          jnp.argmax(closed_f, axis=-1), M)      # [C]
+        rel = (cols - i0[:, None]) % M     # forward walk order of bond b
+        rel_b = (i0[:, None] - cols) % M   # site distance going left
+        k_bw = rel_b - 1                   # backward walk order of bond b
 
-        # backward tests bonds (i0-1-k), k = 0..; the link that would
-        # re-flip i_last_p has both endpoints flipped.  Cap B at
+        # forward: bond at rel = k is tested k-th; rel = M-1 is the
+        # full-wrap link with both endpoints flipped
+        u_f = jax.random.uniform(k_fwd, (C, M), x.dtype)
+        p_f = jnp.where(rel == M - 1, p_two, p_one)
+        closed_f = u_f >= p_f
+        # F_raw = walk order of the first closed forward bond (M if none)
+        F_raw = jnp.min(jnp.where(closed_f, rel, M), axis=-1)    # [C]
+
+        # backward: bond b is tested (rel_b(b) - 1)-th; the link that
+        # would re-flip i_last_p has both endpoints flipped.  Cap B at
         # B_lim = distance from i0 to i_last_p going left.
         B_lim = jnp.where(F_raw >= M, 1, M - F_raw)              # [C]
-        bond_bwd = (i0[:, None] - 1 - cols) % M
         u_b = jax.random.uniform(k_bwd, (C, M), x.dtype)
-        p_b1 = jnp.take_along_axis(p_one, bond_bwd, axis=-1)
-        p_b2 = jnp.take_along_axis(p_two, bond_bwd, axis=-1)
         # terminal backward link re-flips i_last_p (both endpoints
         # flipped -> p_two) — except after a full forward wrap, where the
         # seed is net-unflipped and the link has one flipped endpoint
-        term = jnp.logical_and(cols == (B_lim - 1)[:, None],
+        term = jnp.logical_and(k_bw == (B_lim - 1)[:, None],
                                (F_raw < M)[:, None])
-        p_b = jnp.where(term, p_b2, p_b1)
-        open_b = u_b < p_b
-        closed_b = ~open_b
-        B_raw = jnp.where(jnp.any(closed_b, axis=-1),
-                          jnp.argmax(closed_b, axis=-1), M)
+        p_b = jnp.where(term, p_two, p_one)
+        closed_b = u_b >= p_b
+        # k_bw = -1 is the bond (i0, i0+1) — forward bond 0, never
+        # tested backward
+        B_raw = jnp.min(jnp.where(jnp.logical_and(closed_b, k_bw >= 0),
+                                  k_bw, M), axis=-1)
         B = jnp.minimum(B_raw, B_lim)                            # [C]
-
-        # net flip parity per site: seed once; forward sites
-        # rel = 1..min(F_raw, M-1) once, plus the wrap re-flip of the
-        # seed when F_raw == M; backward sites rel_b = 1..B once
-        rel = (cols - i0[:, None]) % M
-        rel_b = (i0[:, None] - cols) % M
         n_flips = ((rel == 0).astype(jnp.int32)
                    + jnp.logical_and(rel >= 1,
                                      rel <= F_raw[:, None]).astype(jnp.int32)

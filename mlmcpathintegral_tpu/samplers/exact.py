@@ -21,6 +21,10 @@ class ExactState(NamedTuple):
 
 class ExactSampler(Sampler):
 
+    #: successive draws are iid — the two-level/multilevel coarse
+    #: subsampling loops (montecarlotwolevel.cc:82-94) can use t = 1
+    independent_draws = True
+
     def __init__(self, action):
         super().__init__(action)
         if not hasattr(action, "exact_draw"):
