@@ -9,12 +9,12 @@ besselproductdistribution.hh:38-44).
 Sampling is rejection with a two-piece Gaussian envelope: after reducing to
 p(x | dx, 0) with dx >= 0, the density has peaks near x = dx/2 (right
 piece, interval [-pi+dx, pi]) and x = dx/2 - pi (left piece, interval
-[-pi, -pi+dx]).  Batched lanes pick a piece proportionally to its envelope
-mass, propose from the piece's Gaussian, and reject out-of-interval or
-above-envelope proposals (exactly the reference's envelope up to the
-side-selection bookkeeping, reformulated for single-pass lanes: side chosen
-with probability ~ C_s * mass_s is equivalent to the reference's truncated
-two-stage scheme when the in-interval check folds the mass_s factor in).
+[-pi, -pi+dx]).  Batched lanes pick a piece with probability ~ C_s (its envelope HEIGHT
+constant), propose from the piece's untruncated Gaussian, and reject
+out-of-interval or above-envelope proposals: the in-interval check pays
+each piece's erf-mass, so the side choice must NOT include it (doing both
+double-counts the mass and glues the pieces with the wrong relative
+weight — invisible for beta >= 4, an ~8% chi_t bias at beta <= 1).
 
 The normalisation 1/Z(Phi) is a Fourier-cosine series in Phi = x_p - x_m
 with coefficients alpha_k computed once per beta
@@ -117,31 +117,50 @@ class BesselProductDistribution:
         # envelope piece constants (besselproductdistribution.hh:100-115)
         log_C_p = 2.0 * logI0 * (1.0 - dx * dx / (4.0 * pi * pi))
         log_C_m = 2.0 * logI0 * (1.0 - (dx - TWO_PI) ** 2 / (4.0 * pi * pi))
-        mass_p = jax.scipy.special.erf((pi - 0.5 * dx) / sb)
-        mass_m = jax.scipy.special.erf(0.5 * dx / sb)
-        # side weights ~ C_s * mass_s, computed stably in log space
-        log_w_p = log_C_p + jnp.log(jnp.maximum(mass_p, 1e-300))
-        log_w_m = log_C_m + jnp.log(jnp.maximum(mass_m, 1e-300))
-        p_right = 1.0 / (1.0 + jnp.exp(log_w_m - log_w_p))
+        # side weights ~ C_s ONLY: proposals come from the UNTRUNCATED
+        # piece Gaussian with out-of-interval rejection, so the interval
+        # mass is already paid by the in-interval check — weighting the
+        # side choice by erf-mass as well double-counts it and glues the
+        # two pieces with weights mass_p:mass_m instead of 1:1.  (At
+        # beta >= 4 the wrong side is e^{-2 log I0(2 beta)}-suppressed and
+        # the bias is invisible; at beta <= 1 it biased the Schwinger
+        # two-level screen by ~8% in chi_t — caught by the 3-level
+        # 16x16 scale study, level-1 Y off by 36 sigma.)
+        p_right = 1.0 / (1.0 + jnp.exp(log_C_m - log_C_p))
 
         sigma = sb / math.sqrt(2.0)
 
-        def propose_accept(k):
-            ks, kn, ku = jax.random.split(k, 3)
-            right = jax.random.uniform(ks, shape, dtype) < p_right
-            mu = jnp.where(right, 0.5 * dx, 0.5 * dx - pi)
-            a_min = jnp.where(right, -pi + dx, -pi)
-            a_max = jnp.where(right, pi, -pi + dx)
-            log_C = jnp.where(right, log_C_p, log_C_m)
-            x = mu + sigma * jax.random.normal(kn, shape, dtype)
-            in_interval = jnp.logical_and(x >= a_min, x < a_max)
-            u = (x - mu) / sb
-            log_rho = (log_i0(2.0 * beta * jnp.cos(0.5 * x))
-                       + log_i0(2.0 * beta * jnp.cos(0.5 * (x - dx)))
-                       - log_C + u * u)
-            xi = jax.random.uniform(ku, shape, dtype)
-            ok = jnp.logical_and(in_interval, jnp.log(xi) <= log_rho)
-            return x, ok
+        if 2.0 * logI0 <= 1.0:
+            # small beta: the density is nearly flat, the piece Gaussians
+            # are wider than the circle and most proposals leave the
+            # interval.  A uniform envelope with the global bound
+            # p~(x) <= I0(2 beta)^2 accepts >= e^{-2 log I0(2 beta)}
+            # (>= 0.37) per round.
+            def propose_accept(k):
+                kn, ku = jax.random.split(k)
+                x = pi * (2.0 * jax.random.uniform(kn, shape, dtype) - 1.0)
+                log_rho = (log_i0(2.0 * beta * jnp.cos(0.5 * x))
+                           + log_i0(2.0 * beta * jnp.cos(0.5 * (x - dx)))
+                           - 2.0 * logI0)
+                xi = jax.random.uniform(ku, shape, dtype)
+                return x, jnp.log(xi) <= log_rho
+        else:
+            def propose_accept(k):
+                ks, kn, ku = jax.random.split(k, 3)
+                right = jax.random.uniform(ks, shape, dtype) < p_right
+                mu = jnp.where(right, 0.5 * dx, 0.5 * dx - pi)
+                a_min = jnp.where(right, -pi + dx, -pi)
+                a_max = jnp.where(right, pi, -pi + dx)
+                log_C = jnp.where(right, log_C_p, log_C_m)
+                x = mu + sigma * jax.random.normal(kn, shape, dtype)
+                in_interval = jnp.logical_and(x >= a_min, x < a_max)
+                u = (x - mu) / sb
+                log_rho = (log_i0(2.0 * beta * jnp.cos(0.5 * x))
+                           + log_i0(2.0 * beta * jnp.cos(0.5 * (x - dx)))
+                           - log_C + u * u)
+                xi = jax.random.uniform(ku, shape, dtype)
+                ok = jnp.logical_and(in_interval, jnp.log(xi) <= log_rho)
+                return x, ok
 
         x = batched_rejection_sample(key, propose_accept, shape, dtype,
                                      max_iter=500)

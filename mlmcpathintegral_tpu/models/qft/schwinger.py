@@ -249,6 +249,8 @@ class QuenchedSchwingerAction(Action):
         both = self._coarsen_case() == "both"
         rho = 0.25 if both else 0.5
         raw = rho * self.beta
+        # reference parity: both renormalised rules fall back to the raw
+        # coupling for beta <= 4 (quenchedschwingerrenormalisation.hh:68-80)
         if (self.renormalisation is RenormalisationType.NONE
                 or self.beta <= 4.0):
             return raw
@@ -265,12 +267,25 @@ class QuenchedSchwingerAction(Action):
             return (chit_analytical(x * self.beta, P // rho_refine)
                     - chit_analytical(self.beta, P))
 
-        x_lo, x_hi = 0.01, 2.0
-        f_lo, f_hi = f_root(x_lo), f_root(x_hi)
-        if f_lo * f_hi > 0:
-            x = 0.25 if both else 0.5
-        else:
-            x = optimize.bisect(f_root, x_lo, x_hi, rtol=1e-12, maxiter=100)
+        # robust bracketing: scan a log grid for a sign change instead of
+        # testing only the extreme endpoints (the reference tests only
+        # x=0.01 and x=2, quenchedschwingerrenormalisation.cc:26-40);
+        # Phi_chit's quadrature is noisy at x*beta << 1, so an endpoint
+        # test can miss an interior root and silently fall back
+        import numpy as _np
+        xs = _np.geomspace(0.02, 2.0, 49)
+        fs = [f_root(x) for x in xs]
+        x = None
+        for i in range(len(xs) - 1, 0, -1):   # prefer the root nearest 2
+            if fs[i - 1] == 0.0:
+                x = xs[i - 1]
+                break
+            if fs[i - 1] * fs[i] < 0:
+                x = optimize.bisect(f_root, xs[i - 1], xs[i], rtol=1e-12,
+                                    maxiter=100)
+                break
+        if x is None:
+            x = 0.25 if both else 0.5         # raw-coupling fallback
         return x * self.beta
 
     # -- analytics (qoi2dsusceptibility.cc:30-50) ------------------------------

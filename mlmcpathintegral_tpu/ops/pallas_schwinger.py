@@ -277,6 +277,9 @@ def schwinger_sweep_chain(theta, seed, *, beta, Mt, Mx, n_steps,
         n_steps=int(n_steps))
     out, qsum = pl.pallas_call(
         kernel,
+        # see pallas_schwinger_twolevel: lift the 16 MB scoped-VMEM cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         grid=(C // block_chains,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

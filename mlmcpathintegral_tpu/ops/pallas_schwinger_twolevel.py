@@ -222,28 +222,40 @@ def _bessel_draw(rng, x_p, x_m, beta, log_i0_2beta, sigma_beta, k_rej,
 
     log_C_p = 2.0 * log_i0_2beta * (1.0 - dx * dx * FOURPI2_INV)
     log_C_m = 2.0 * log_i0_2beta * (1.0 - (dx - TWO_PI) ** 2 * FOURPI2_INV)
-    mass_p = kernel_erf((PI - 0.5 * dx) / sb)
-    mass_m = kernel_erf(0.5 * dx / sb)
-    log_w_p = log_C_p + jnp.log(jnp.maximum(mass_p, 1e-20))
-    log_w_m = log_C_m + jnp.log(jnp.maximum(mass_m, 1e-20))
-    d = jnp.clip(log_w_p - log_w_m, -60.0, 60.0)
+    # side choice ~ C_s ONLY (not C_s * erf-mass): proposals are from the
+    # untruncated piece Gaussian with in-interval rejection, which already
+    # pays the interval mass — see distributions/besselproduct.py draw
+    d = jnp.clip(log_C_p - log_C_m, -60.0, 60.0)
     p_right = 1.0 / (1.0 + jnp.exp(-d))
     sigma = sb / math.sqrt(2.0)
 
     x = jnp.zeros_like(dx)
     acc = jnp.zeros(dx.shape, jnp.bool_)
+    small_beta = 2.0 * log_i0_2beta <= 1.0   # static: flat-density regime
     for _ in range(k_rej):
-        right = rng.uniform(dtype) < p_right
-        mu = jnp.where(right, 0.5 * dx, 0.5 * dx - PI)
-        a_min = jnp.where(right, -PI + dx, -PI)
-        a_max = jnp.where(right, PI, -PI + dx)
-        log_C = jnp.where(right, log_C_p, log_C_m)
-        prop = mu + sigma * rng.normal(dtype)
-        in_interval = jnp.logical_and(prop >= a_min, prop < a_max)
-        u = (prop - mu) / sb
-        log_rho = (kernel_log_i0(2.0 * beta * jnp.cos(0.5 * prop))
-                   + kernel_log_i0(2.0 * beta * jnp.cos(0.5 * (prop - dx)))
-                   - log_C + u * u)
+        if small_beta:
+            # uniform envelope, global bound p~ <= I0(2 beta)^2 — the
+            # piece Gaussians are wider than the circle here (see
+            # distributions/besselproduct.py draw)
+            prop = PI * (2.0 * rng.uniform(dtype) - 1.0)
+            log_rho = (kernel_log_i0(2.0 * beta * jnp.cos(0.5 * prop))
+                       + kernel_log_i0(2.0 * beta
+                                       * jnp.cos(0.5 * (prop - dx)))
+                       - 2.0 * log_i0_2beta)
+            in_interval = jnp.ones(dx.shape, jnp.bool_)
+        else:
+            right = rng.uniform(dtype) < p_right
+            mu = jnp.where(right, 0.5 * dx, 0.5 * dx - PI)
+            a_min = jnp.where(right, -PI + dx, -PI)
+            a_max = jnp.where(right, PI, -PI + dx)
+            log_C = jnp.where(right, log_C_p, log_C_m)
+            prop = mu + sigma * rng.normal(dtype)
+            in_interval = jnp.logical_and(prop >= a_min, prop < a_max)
+            u = (prop - mu) / sb
+            log_rho = (kernel_log_i0(2.0 * beta * jnp.cos(0.5 * prop))
+                       + kernel_log_i0(2.0 * beta
+                                       * jnp.cos(0.5 * (prop - dx)))
+                       - log_C + u * u)
         xi = rng.uniform(dtype)
         ok = jnp.logical_and(in_interval, jnp.log(xi) <= log_rho)
         x = jnp.where(jnp.logical_and(ok, ~acc), prop, x)
@@ -348,15 +360,25 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
     # rows infer cleanly like the QoI traces of the chain kernels.
     def body(s, carry):
         f, Tc, Xc, S_f, S_q = carry
-        rng = CounterRng(seed1, site, chain, seed2, step=s)
+        # each (step, sweep) pair folds its own stream index so the
+        # sweep loop can be a fori_loop (compile time and Mosaic stack
+        # pressure independent of t_sub) — stream t_sub is the
+        # fill/accept part below
+        base = s * (t_sub + 1)
 
         # ---- t_sub coarse heat-bath sweeps (tau-subsampled proposal) ----
-        for t in range(t_sub):
-            Tc, Xc = _one_step(Tc, Xc, rng, beta=beta_c, Mt=Mtc,
+        def sweep_body(t, c2):
+            Tc, Xc = c2
+            rng_t = CounterRng(seed1, site, chain, seed2, step=base + t)
+            Tc, Xc = _one_step(Tc, Xc, rng_t, beta=beta_c, Mt=Mtc,
                                n_overrelax=n_overrelax_c,
                                n_heatbath=n_heatbath_c,
                                k_rej=k_rej, dtype=dtype)
             qc_ref[pl.ds(s * t_sub + t, 1)] = q_coarse(Tc, Xc, sh)[None]
+            return (Tc, Xc)
+
+        Tc, Xc = jax.lax.fori_loop(0, t_sub, sweep_body, (Tc, Xc))
+        rng = CounterRng(seed1, site, chain, seed2, step=base + t_sub)
 
         # ---- trial: prolongate + conditioned fill ----
         trial, fill_ok = prolongate_fill(
@@ -462,6 +484,12 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
     dt = theta_fine.dtype
     fine_o, coarse_o, scache_o, y, qc, acc = pl.pallas_call(
         kernel,
+        # raise the scoped-VMEM cap from the 16 MB default: on v5e
+        # (128 MB VMEM) XLA additionally promotes the full output
+        # arrays to VMEM when they fit, which at 32x32+ lattices pushes
+        # the default budget over by itself
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         grid=(C // blk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   comp_spec, coarse_spec, scache_spec],

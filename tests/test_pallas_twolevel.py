@@ -119,16 +119,17 @@ def test_kernel_special_functions():
     np.testing.assert_allclose(got, ref, rtol=5e-7, atol=5e-7)
 
 
-def test_bessel_fill_draw_density():
+@pytest.mark.parametrize("beta", [4.0, 1.0, 0.25])
+def test_bessel_fill_draw_density(beta):
     """The truncated in-kernel BesselProduct draw must match the
     distribution's own evaluate: accepted lanes are exactly q-distributed
-    (KS test against the numerically-integrated CDF)."""
+    (KS test against the numerically-integrated CDF).  Small beta guards
+    the envelope side-selection fix (both pieces comparable there)."""
     from mlmcpathintegral_tpu.distributions.besselproduct import (
         BesselProductDistribution,
     )
     from mlmcpathintegral_tpu.ops.pallas_rng import CounterRng
 
-    beta = 4.0
     bp = BesselProductDistribution(beta)
     x_p, x_m = 0.7, -1.3
     N = 4096

@@ -61,6 +61,9 @@ def test_besselproduct_znorm_matches_quadrature():
 
 @pytest.mark.parametrize("beta,xp,xm", [
     (2.0, 0.5, -0.3), (4.0, 2.0, -2.5), (8.0, 1.0, 2.0), (4.0, -3.0, 2.9),
+    # small beta: both envelope pieces carry comparable weight — guards
+    # the side-selection fix (erf-mass double count biased beta <= 1)
+    (1.0, 0.5, -0.3), (1.0, 2.0, -2.5), (0.25, 1.0, 2.0),
 ])
 def test_besselproduct_draw_ks(beta, xp, xm):
     dist = BesselProductDistribution(beta)

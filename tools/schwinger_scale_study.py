@@ -39,7 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
              epsilon=1e-2, n_chains=1024, chunk_size=256,
              use_pallas=True, interpret=False, block_chains=None,
-             seed=0):
+             seed=0, n_autocorr_window=64):
     from mlmcpathintegral_tpu.conditioned.schwinger import (
         make_schwinger_conditioned_fine_action,
     )
@@ -62,6 +62,7 @@ def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
         conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
         n_level=n_level, n_burnin=200, n_samples=n_samples,
         epsilon=epsilon, chunk_size=chunk_size,
+        n_autocorr_window=n_autocorr_window,
         use_pallas=use_pallas, pallas_interpret=interpret)
     t0 = time.monotonic()
     stats = mc.evaluate(jax.random.PRNGKey(seed), n_chains=n_chains,
@@ -111,8 +112,15 @@ def main():
     rows = []
     if args.scale:
         for M in [int(s) for s in args.sizes.split(",")]:
-            r = run_mlmc(M, M, n_level=3, n_samples=args.n_samples,
-                         n_chains=args.n_chains,
+            # continuum-limit trajectory: fixed physical volume and
+            # coupling, a -> a/2 per doubling => beta = 1/(a g)^2 grows
+            # as M^2 (normalised to the baseline config beta=4 at 16x16).
+            # At fixed beta instead, the two-level acceptance collapses
+            # with volume and the screen decorrelates too slowly to
+            # measure (observed: 25% bias at 64x64 beta=4).
+            beta = 4.0 * (M / 16.0) ** 2
+            r = run_mlmc(M, M, beta=beta, n_level=3,
+                         n_samples=args.n_samples, n_chains=args.n_chains,
                          interpret=args.interpret)
             print(r, flush=True)
             rows.append(r)
