@@ -90,7 +90,8 @@ class MonteCarloMultiLevel:
         if type(act) is not QuenchedSchwingerAction:
             return False
         lat = act.lattice
-        return (act._coarsen_case() == "both" and act.beta <= 8.0
+        # beta > 8 runs the kernel's large-beta Gaussian-mixture branch
+        return (act._coarsen_case() == "both"
                 and lat.Mt_lat % 2 == 0 and lat.Mx_lat % 2 == 0)
 
     def _fused_coarsest(self) -> bool:

@@ -263,9 +263,79 @@ def _bessel_draw(rng, x_p, x_m, beta, log_i0_2beta, sigma_beta, k_rej,
     return _mod_2pi(sign * x + x_p), acc
 
 
+def _approx_fold(x0):
+    """Map x_p - x_m to [0, pi] with sign bookkeeping
+    (approximatebesselproductdistribution.cc:10-19)."""
+    sign = jnp.where(x0 < 0, -1.0, 1.0)
+    x0 = jnp.abs(x0)
+    flip = x0 > PI
+    sign = jnp.where(flip, -sign, sign)
+    x0 = jnp.where(flip, TWO_PI - x0, x0)
+    return x0, sign
+
+
+def _approx_params(x0, beta):
+    """(N_p, s2p, s2m) of the large-beta Gaussian mixture
+    (approximatebesselproductdistribution.cc:39-55); the mixture weight
+    is computed in log space (f32-safe for s2m -> 0)."""
+    eps = 0.125 * PI
+    s2p = jnp.where(x0 < eps, beta, beta * jnp.cos(0.25 * x0))
+    s2m_raw = beta * jnp.sin(0.25 * x0)
+    s2m_c = jnp.maximum(s2m_raw, 1e-20)
+    log_rho = 1.5 * (jnp.log(s2p) - jnp.log(s2m_c)) \
+        - 4.0 * (s2p - s2m_raw)
+    N_p = jnp.where(x0 < eps, 1.0,
+                    1.0 / (1.0 + jnp.exp(jnp.clip(log_rho, -60.0, 60.0))))
+    s2m = jnp.where(x0 < eps, 0.0, s2m_raw)
+    return N_p, s2p, s2m
+
+
+def _approx_bessel_draw(rng, x_p, x_m, beta, dtype):
+    """Large-beta Gaussian-mixture draw (distributions/
+    approxbesselproduct.py draw) — direct, no rejection; ok always."""
+    x0, sign = _approx_fold(x_p - x_m)
+    N_p, s2p, s2m = _approx_params(x0, beta)
+    main = rng.uniform(dtype) <= N_p
+    sigma = jnp.where(main, jax.lax.rsqrt(s2p),
+                      jax.lax.rsqrt(jnp.maximum(s2m, 1e-20)))
+    xshift = jnp.where(main, 0.0, PI)
+    x = sigma * rng.normal(dtype) + 0.5 * x0 - xshift
+    return _mod_2pi(sign * x + x_m), jnp.ones(x.shape, jnp.bool_)
+
+
+def _approx_log_eval(x, x_p, x_m, beta, kmax=4):
+    """log of the mixture density with 2 kmax + 1 periodic copies
+    (approximatebesselproductdistribution.cc:7-36 / distributions/
+    approxbesselproduct.py evaluate)."""
+    x0, sign = _approx_fold(x_p - x_m)
+    z = sign * (x - x_m)
+    N_p, s2p, s2m = _approx_params(x0, beta)
+    s_p = jnp.zeros_like(z)
+    s_m = jnp.zeros_like(z)
+    for k in range(-kmax, kmax + 1):
+        zs = z - 0.5 * x0 + 2.0 * k * PI
+        s_p = s_p + jnp.sqrt(s2p) * jnp.exp(-0.5 * s2p * zs * zs)
+        zs = zs + PI
+        s_m = s_m + jnp.sqrt(jnp.maximum(s2m, 0.0)) * jnp.exp(
+            -0.5 * s2m * zs * zs)
+    dens = math.sqrt(0.5 / math.pi) * (N_p * s_p + (1.0 - N_p) * s_m)
+    return jnp.log(jnp.maximum(dens, 1e-30))
+
+
+def _expcos_log_eval(x, beta, tp, tm):
+    """log p(x | tp, tm) of ExpCos, stable for large beta
+    (distributions/expcos.py log_evaluate)."""
+    sigma = 2.0 * beta * jnp.abs(jnp.cos(0.5 * (tp - tm)))
+    s = beta * (jnp.cos(x - tp) + jnp.cos(x - tm))
+    return s - math.log(TWO_PI) - kernel_log_i0(sigma)
+
+
 def prolongate_fill(rng, Tc, Xc, beta, log_i0_2beta, sigma_beta,
-                    k_rej, k_rej_bessel, sh, dtype):
+                    k_rej, k_rej_bessel, sh, dtype, exact=True):
     """Trial fine state: prolongate the coarse links + 3-step fill-in.
+    ``exact`` selects the BesselProduct STEP-2 branch (beta <= 8) vs the
+    large-beta Gaussian-mixture approximation
+    (quenchedschwingerconditionedfineaction.hh:37-44).
     Returns (components, fill_ok[C]) — fill_ok False where any cell's
     truncated rejection loop failed (-> force-reject that chain's move)."""
     # prolongate 'both' (quenchedschwingeraction.cc:92-146): each coarse
@@ -287,9 +357,13 @@ def prolongate_fill(rng, Tc, Xc, beta, log_i0_2beta, sigma_beta,
     # split (conditioned/schwinger.py fill_fine_points STEP 2)
     theta_p = _mod_2pi(T01 + sh(X00, 0, 1) + sh(X10, 0, 1) - sh(T01, 1, 0))
     theta_m = _mod_2pi(X00 + X10 + sh(T00, 1, 0) - T00)
-    theta_tilde, ok_b = _bessel_draw(rng, theta_p, theta_m, beta,
-                                     log_i0_2beta, sigma_beta,
-                                     k_rej_bessel, dtype)
+    if exact:
+        theta_tilde, ok_b = _bessel_draw(rng, theta_p, theta_m, beta,
+                                         log_i0_2beta, sigma_beta,
+                                         k_rej_bessel, dtype)
+    else:
+        theta_tilde, ok_b = _approx_bessel_draw(rng, theta_p, theta_m,
+                                                beta, dtype)
     u = PI * (2.0 * rng.uniform(dtype) - 1.0)
     X01 = _mod_2pi(0.5 * theta_tilde + u)
     X11 = _mod_2pi(0.5 * theta_tilde - u)
@@ -335,6 +409,28 @@ def s_cond(f, beta, alphas, sh):
     return S + jnp.sum(jnp.log(series), axis=(0, 1))
 
 
+def s_cond_approx(f, beta, sh):
+    """Conditioned-action value, large-beta branch: vertical-sum mixture
+    density + horizontal ExpCos terms
+    (quenchedschwingerconditionedfineaction.cc:267-290 /
+    conditioned/schwinger.py evaluate beta > 8) -> [C]."""
+    T00, T01, T10, T11, X00, X01, X10, X11 = f
+    theta_p = _mod_2pi(T01 + sh(X00, 0, 1) + sh(X10, 0, 1)
+                       - sh(T01, 1, 0))
+    theta_m = _mod_2pi(X00 + X10 + sh(T00, 1, 0) - T00)
+    th_v = _mod_2pi(X01 + X11)
+    S = -jnp.sum(_approx_log_eval(th_v, theta_p, theta_m, beta),
+                 axis=(0, 1))
+    tp_e = _mod_2pi(T00 + X01 - X00)
+    tm_e = _mod_2pi(X10 + sh(T00, 1, 0) - X11)
+    tp_o = _mod_2pi(T01 + sh(X00, 0, 1) - X01)
+    tm_o = _mod_2pi(X11 + sh(T01, 1, 0) - sh(X10, 0, 1))
+    S = S - jnp.sum(_expcos_log_eval(T10, beta, tp_e, tm_e)
+                    + _expcos_log_eval(T11, beta, tp_o, tm_o),
+                    axis=(0, 1))
+    return S
+
+
 # ---------------------------------------------------------------------------
 # The fused chain kernel
 # ---------------------------------------------------------------------------
@@ -344,7 +440,8 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
                      y_ref, qc_ref, acc_ref, *,
                      beta, beta_c, Mtc, n_steps, t_sub,
                      n_overrelax_c, n_heatbath_c, k_rej, k_rej_bessel,
-                     alphas, log_i0_2beta, sigma_beta, block_chains):
+                     alphas, log_i0_2beta, sigma_beta, block_chains,
+                     exact=True):
     dtype = fine_ref.dtype
     sh = tpu_sh
     # two RNG shapes: coarse-cell grid draws and (via row 0) per-chain
@@ -383,7 +480,7 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
         # ---- trial: prolongate + conditioned fill ----
         trial, fill_ok = prolongate_fill(
             rng, Tc, Xc, beta, log_i0_2beta, sigma_beta,
-            k_rej, k_rej_bessel, sh, dtype)
+            k_rej, k_rej_bessel, sh, dtype, exact=exact)
         fill_ok = fill_ok[None]                                # [1, C]
 
         # ---- the three dS terms (twolevelmetropolisstep.cc:35-89) ----
@@ -391,7 +488,10 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
         Tc_r, Xc_r = restrict_comps(f)
         dS_coarse = (s_coarse(Tc_r, Xc_r, beta_c, sh)
                      - s_coarse(Tc, Xc, beta_c, sh))[None]
-        S_q_trial = s_cond(trial, beta, alphas, sh)[None]
+        if exact:
+            S_q_trial = s_cond(trial, beta, alphas, sh)[None]
+        else:
+            S_q_trial = s_cond_approx(trial, beta, sh)[None]
         dS = (S_f_trial - S_f) + dS_coarse + (S_q - S_q_trial)
 
         u_acc = rng.uniform(dtype)[0:1, 0]                     # [1, C]
@@ -440,19 +540,24 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
     telescoping sample V chi_t(fine) - V chi_t(coarse) and qc the coarse
     topological-sum trace (for the coarse-sampler tau_int statistics).
 
-    Requires both-direction coarsening and beta <= 8 (the exact
-    BesselProduct fill branch, besselproductdistribution.hh:38-44).
+    Requires both-direction coarsening.  beta <= 8 runs the exact
+    BesselProduct fill branch (besselproductdistribution.hh:38-44);
+    beta > 8 the large-beta Gaussian-mixture branch
+    (quenchedschwingerconditionedfineaction.hh:37-44).
     """
-    if beta > 8.0:
-        raise ValueError("fused two-level kernel implements the exact "
-                         "Bessel fill branch (beta <= 8)")
-    from mlmcpathintegral_tpu.distributions.besselproduct import (
-        BesselProductDistribution,
-    )
-    bp = BesselProductDistribution(float(beta))
-    alphas = tuple(float(a) for a in bp.alphaZ[1:])
-    log_i0_2beta = bp.log_I0_twobeta
-    sigma_beta = bp.sigma_beta
+    exact = float(beta) <= 8.0
+    if exact:
+        from mlmcpathintegral_tpu.distributions.besselproduct import (
+            BesselProductDistribution,
+        )
+        bp = BesselProductDistribution(float(beta))
+        alphas = tuple(float(a) for a in bp.alphaZ[1:])
+        log_i0_2beta = bp.log_I0_twobeta
+        sigma_beta = bp.sigma_beta
+    else:
+        alphas = ()
+        log_i0_2beta = 0.0
+        sigma_beta = 1.0
 
     C = theta_fine.shape[0]
     Mtc, Mxc = Mt // 2, Mx // 2
@@ -472,7 +577,7 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
         n_overrelax_c=int(n_overrelax_c), n_heatbath_c=int(n_heatbath_c),
         k_rej=int(k_rej), k_rej_bessel=int(k_rej_bessel), alphas=alphas,
         log_i0_2beta=float(log_i0_2beta), sigma_beta=float(sigma_beta),
-        block_chains=int(block_chains))
+        block_chains=int(block_chains), exact=exact)
 
     blk = block_chains
     comp_spec = pl.BlockSpec((8, Mxc, Mtc, blk), lambda i: (0, 0, 0, i),

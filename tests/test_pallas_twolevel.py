@@ -157,11 +157,13 @@ def test_bessel_fill_draw_density(beta):
     assert ks < 2.0 / math.sqrt(len(xs)), ks
 
 
-def test_fill_distribution_matches_xla_fill():
+@pytest.mark.parametrize("BETA", [4.0, 16.0])
+def test_fill_distribution_matches_xla_fill(BETA):
     """Given the SAME coarse sample on every lane, the kernel fill and the
     XLA conditioned fill must produce the same trial distribution —
-    compared through the scalar projections S_cond and S_fine."""
-    Mt, Mx, BETA, C = 8, 8, 4.0, 2048
+    compared through the scalar projections S_cond and S_fine.  BETA=16
+    exercises the large-beta Gaussian-mixture branch."""
+    Mt, Mx, C = 8, 8, 2048
     lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
     act = QuenchedSchwingerAction(lat, beta=BETA)
     cact = act.coarse_action()
@@ -188,13 +190,24 @@ def test_fill_distribution_matches_xla_fill():
     site = site.reshape(Mxc, Mtc, C)
     chain = chain.reshape(Mxc, Mtc, C)
     rng = CounterRng(jnp.uint32(123), site, chain, jnp.uint32(77))
-    alphas = tuple(float(a) for a in cond.bessel.alphaZ[1:])
+    exact = BETA <= 8.0
+    if exact:
+        alphas = tuple(float(a) for a in cond.bessel.alphaZ[1:])
+        li0, sb = cond.bessel.log_I0_twobeta, cond.bessel.sigma_beta
+    else:
+        alphas, li0, sb = (), 0.0, 1.0
     trial, ok = tl.prolongate_fill(
-        rng, gc[0], gc[1], BETA, cond.bessel.log_I0_twobeta,
-        cond.bessel.sigma_beta, 8, 16, tl.jnp_sh, jnp.float32)
+        rng, gc[0], gc[1], BETA, li0, sb, 8, 16, tl.jnp_sh, jnp.float32,
+        exact=exact)
     ok = np.asarray(ok)
-    assert ok.mean() > 0.99
-    sq_k = np.asarray(tl.s_cond(trial, BETA, alphas, tl.jnp_sh))[ok]
+    # beta=16: the STEP-3 ExpCos rejection at tau ~ 2 beta fails ~1% of
+    # chains within k_rej=8 rounds (force-reject, exact; the screen just
+    # loses ~1% acceptance)
+    assert ok.mean() > 0.97
+    if exact:
+        sq_k = np.asarray(tl.s_cond(trial, BETA, alphas, tl.jnp_sh))[ok]
+    else:
+        sq_k = np.asarray(tl.s_cond_approx(trial, BETA, tl.jnp_sh))[ok]
     sf_k = np.asarray(tl.s_fine(trial, BETA, tl.jnp_sh))[ok]
 
     for a, b in ((sq_xla, sq_k), (sf_xla, sf_k)):
@@ -204,10 +217,13 @@ def test_fill_distribution_matches_xla_fill():
         assert abs(a.std() - b.std()) / a.std() < 0.1, (a.std(), b.std())
 
 
-def test_fused_chain_matches_oracles():
+@pytest.mark.parametrize("BETA", [2.0, 16.0])
+def test_fused_chain_matches_oracles(BETA):
     """Drive the fused two-level kernel (interpret mode) and check the
-    stationary distribution against BOTH analytic oracles."""
-    Mt, Mx, BETA, C = 4, 4, 2.0, 512
+    stationary distribution against BOTH analytic oracles.  BETA=16
+    exercises the large-beta Gaussian-mixture fill branch
+    (quenchedschwingerconditionedfineaction.hh:37-44)."""
+    Mt, Mx, C = 4, 4, 512
     lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
     act = QuenchedSchwingerAction(lat, beta=BETA)
     cact = act.coarse_action()
@@ -249,10 +265,15 @@ def test_fused_chain_matches_oracles():
                                np.asarray(cond.evaluate(theta_f)),
                                rtol=0, atol=2e-3)
 
-    # E[Y] = V chi_t(fine) - V chi_t(coarse)
+    # E[Y] = V chi_t(fine) - V chi_t(coarse); at strong coupling on the
+    # tiny test lattice (beta=16, 4x4) chi_t is ~1e-15 and the quadrature
+    # oracle is pure noise — the chain is then validated by the
+    # acceptance + cache-consistency checks above and the beta=16 fill
+    # distribution test below
     oracle = (chit_analytical(BETA, Mt * Mx)
               - chit_analytical(cact.beta, Mt * Mx // 4))
     est = y.mean()
     # effective error with a generous tau_int allowance
     err = y.std() / math.sqrt(y.size / (2 * 20.0))
-    assert abs(est - oracle) < 4 * err, (est, err, oracle, p_acc)
+    if abs(oracle) > 1e-4 or err > 1e-6:
+        assert abs(est - oracle) < 4 * err, (est, err, oracle, p_acc)
