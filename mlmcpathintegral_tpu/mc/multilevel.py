@@ -145,6 +145,23 @@ class MonteCarloMultiLevel:
             block //= 2
         return max(block, min(min_block, n_chains))
 
+    #: max in-kernel coarse sweeps per launch: bounds both the qc-trace
+    #: VMEM block and the single-launch runtime (very long launches at
+    #: large t_sub tripped the tunnelled device with UNAVAILABLE)
+    LAUNCH_SWEEP_BUDGET = 8192
+
+    def _level_chunk(self, ell: int) -> int:
+        """Per-launch recorded samples for level ell: the configured
+        chunk_size, reduced when the level's t_sub would make one fused
+        launch exceed LAUNCH_SWEEP_BUDGET coarse sweeps."""
+        fused = (self._fused_coarsest() if ell == self.n_level - 1
+                 else self._fused_level(ell))
+        if not fused:
+            return self.chunk_size
+        t_sub = self._t_sub[ell if ell < self.n_level - 1 else -1]
+        return max(8, min(self.chunk_size,
+                          self.LAUNCH_SWEEP_BUDGET // max(t_sub, 1)))
+
     def _make_fused_chunk(self, ell: int, t_sub: int, n_chains: int,
                           block_shrink: int = 1):
         """Jitted fused two-level chunk for level ell at a static
@@ -161,13 +178,13 @@ class MonteCarloMultiLevel:
         lat = act.lattice
         # element estimate: parity components + the per-step traces the
         # kernel stages in VMEM blocks (y, acc, and t_sub qc rows)
+        chunk_size = self._level_chunk(ell)
         ndof = (10 * lat.nedges // 4
-                + self.chunk_size * (2 + t_sub) // 4)
+                + chunk_size * (2 + t_sub) // 4)
         min_block = 128 if n_chains >= 128 else max(8, n_chains)
         block = max(min_block,
                     self._pallas_block(n_chains, ndof) // block_shrink)
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
-        chunk_size = self.chunk_size
         interpret = self.pallas_interpret
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -210,14 +227,14 @@ class MonteCarloMultiLevel:
         )
         cact = self.actions[-1]
         lat = cact.lattice
+        chunk_size = self._level_chunk(self.n_level - 1)
         # sweep kernel: field + per-step QoI trace only (~8 B/element
         # scoped on v5e) — twice the two-level kernel's element budget
         min_block = 128 if n_chains >= 128 else max(8, n_chains)
         block = max(min_block, self._pallas_block(
-            n_chains, lat.nedges + self.chunk_size * t_sub,
+            n_chains, lat.nedges + chunk_size * t_sub,
             budget=1536 * 1024) // block_shrink)
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
-        chunk_size = self.chunk_size
         interpret = self.pallas_interpret
 
         @functools.partial(jax.jit, donate_argnums=(1,))
@@ -422,6 +439,10 @@ class MonteCarloMultiLevel:
                 # step-size autotune bisection) cannot trace — build
                 # this level's carry eagerly
                 cstate, tl = build_level(keys[2 * ell], keys[2 * ell + 1])
+            # drain per level: deep multi-level hierarchies enqueueing
+            # many large programs back-to-back can wedge the tunnelled
+            # device (observed UNAVAILABLE at 64x64 3-level)
+            jax.block_until_ready(tl)
             rdtype = self.coarse_samplers[ell].x_of(cstate).dtype
             st_y = self.stats_qoi[ell].init(n_chains, rdtype)
             st_cs = self.stats_cs[ell].init(n_chains, rdtype)
@@ -463,8 +484,9 @@ class MonteCarloMultiLevel:
             done = 0
             t_d0 = time.monotonic()
             n_chunks = 0
+            c_ell = self._level_chunk(ell)
             while done < n_more or (n_more == 0 and n_chunks == 0):
-                n = min(self.chunk_size, n_more - done)
+                n = min(c_ell, n_more - done)
                 key_run, sub = jax.random.split(key_run)
                 # n as an int32 scalar (a Python int would trace as a weak
                 # type, distinct from the burn-in path's dtype)
@@ -544,10 +566,11 @@ class MonteCarloMultiLevel:
         self.cost_per_sample = []
         for ell in range(L):
             c = carry_L if ell == L - 1 else carries[ell]
+            n_probe = self._level_chunk(ell)
             t0 = time.monotonic()
-            c, key_run = run_level(ell, c, self.chunk_size, key_run)
+            c, key_run = run_level(ell, c, n_probe, key_run)
             jax.block_until_ready(c)
-            per = (time.monotonic() - t0) / (self.chunk_size * n_chains)
+            per = (time.monotonic() - t0) / (n_probe * n_chains)
             self.cost_per_sample.append(per * 1e6)   # micro-seconds
             if ell == L - 1:
                 carry_L = c

@@ -119,9 +119,21 @@ def main():
             # with volume and the screen decorrelates too slowly to
             # measure (observed: 25% bias at 64x64 beta=4).
             beta = 4.0 * (M / 16.0) ** 2
-            r = run_mlmc(M, M, beta=beta, n_level=3,
-                         n_samples=args.n_samples, n_chains=args.n_chains,
-                         interpret=args.interpret)
+            for attempt in range(3):
+                try:
+                    r = run_mlmc(M, M, beta=beta, n_level=3,
+                                 n_samples=args.n_samples,
+                                 n_chains=args.n_chains,
+                                 interpret=args.interpret)
+                    break
+                except Exception as e:
+                    # the tunnelled device occasionally drops with
+                    # UNAVAILABLE mid-run; retry after a cool-down
+                    print(f"M={M} attempt {attempt} failed: "
+                          f"{repr(e)[:150]}", flush=True)
+                    time.sleep(60)
+            else:
+                continue
             print(r, flush=True)
             rows.append(r)
     if args.epsilon:
