@@ -20,6 +20,7 @@ vs_baseline, core-scaled where the reference parallelises):
 
 import functools
 import json
+import math
 import os
 import time
 from pathlib import Path
@@ -559,12 +560,86 @@ def bench_gff_twolevel():
     }
 
 
-def bench_rotor_cluster_M(M: int, n_chains: int = 4096, n_updates: int = 5):
+def bench_quartic_twolevel():
+    """Two-level double-well Y = Q_f - Q_c diagnostic (BASELINE config 2,
+    baselines/configs/ref_qm_quartic_twolevel.in: M=64, T=4, m0=mu2=
+    lambda=x0=1, HMC coarse sampler) vs the real reference run
+    (quartic_twolevel baseline, driver_qm.cc two-level path).  No closed
+    form exists for the double well; the oracle is the C++ run's own
+    fine-level <x^2> (montecarlotwolevel.cc:38-94), compared in combined
+    sigma units.  eff = n_diff / (tau_delta * wall), core-scaled like the
+    other two-level rows (the reference splits two-level samples over
+    MPI ranks, montecarlotwolevel.cc:62-63)."""
+    from mlmcpathintegral_tpu.conditioned import make_conditioned_fine_action
+    from mlmcpathintegral_tpu.lattice import Lattice1D
+    from mlmcpathintegral_tpu.mc import MonteCarloTwoLevel
+    from mlmcpathintegral_tpu.models import (
+        QuarticOscillatorAction, RenormalisationType,
+    )
+    from mlmcpathintegral_tpu.qoi import qoi_x_squared
+    from mlmcpathintegral_tpu.samplers import HMCSampler
+
+    C = 4096
+    lat = Lattice1D(M_lat=64, T_final=4.0)
+    act = QuarticOscillatorAction(lat, RenormalisationType.NONE,
+                                  m0=1.0, mu2=1.0, lam=1.0, x0=1.0)
+    mc = MonteCarloTwoLevel(
+        act, qoi_x_squared,
+        coarse_sampler_factory=lambda a: HMCSampler(
+            a, nt=100, dt=0.1, n_burnin=100, unroll=4,
+            use_pallas=(_BACKEND == "tpu"), block_chains=1024),
+        conditioned_fine_action_factory=make_conditioned_fine_action,
+        n_burnin=100, n_samples=256 * C, chunk_size=64,
+        n_autocorr_window=40, n_coarse_autocorr_window=40,
+        n_fine_autocorr_window=40, n_delta_autocorr_window=40)
+    # warm the jit cache so the measured run is the method, not XLA
+    mc.n_samples, real_n = C, mc.n_samples
+    mc.evaluate_difference(jax.random.PRNGKey(14), n_chains=C,
+                           dtype=jnp.float32)
+    mc.n_samples = real_n
+    stats = mc.evaluate_difference(jax.random.PRNGKey(15), n_chains=C,
+                                   dtype=jnp.float32)
+    wall = mc.elapsed_s
+    fine_avg = mc.stats_fine.average(stats["fine"])
+    fine_err = mc.stats_fine.error(stats["fine"])
+    n_diff = mc.stats_diff.samples(stats["diff"])
+    tau_d = mc.stats_diff.tau_int(stats["diff"])
+    eff = n_diff / (tau_d * wall)
+    base = _ref_eff("quartic_twolevel", core_scaled=True)
+    ref = (_load_baseline("ref_baselines.json") or {}).get(
+        "runs", {}).get("quartic_twolevel", {})
+    ref_avg = ref.get("fine", {}).get("avg")
+    ref_err = ref.get("fine", {}).get("avg_err", 0.0)
+    sigma = (abs(fine_avg - ref_avg) / math.hypot(fine_err, ref_err)
+             if ref_avg is not None else None)
+    return {
+        "bench": "quartic_twolevel", "M": 64, "n_chains": C,
+        "avg_x2": round(fine_avg, 6), "err": round(fine_err, 6),
+        "ref_cpp_x2": ref_avg,
+        "sigma_dev": round(sigma, 2) if sigma is not None else None,
+        "delta_avg": round(mc.stats_diff.average(stats["diff"]), 6),
+        "delta_var_over_fine_var": round(
+            mc.stats_diff.variance(stats["diff"])
+            / mc.stats_fine.variance(stats["fine"]), 4),
+        "p_accept": round(mc.p_accept, 4),
+        "tau_int_delta": round(tau_d, 3),
+        "t_indep": round(mc.t_indep, 2),
+        "wall_s": round(wall, 2),
+        "samples_per_sec": round(n_diff / wall, 1),
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(eff / base, 2) if base else None,
+    }
+
+
+def bench_rotor_cluster_M(M: int, n_chains: int = 4096,
+                          n_updates: int = 10, seed: int = 3):
     """Topological rotor chi_t with the vectorised Wolff cluster sampler
     (the reference's algorithm for this model — flat tau_int in a,
     clustersampler.cc:92-132; r2 shipped a heat-bath chain with tau=34.7
-    instead, VERDICT r2 item 5).  Matches the baseline runs' physics
-    (baselines/logs/rotor_cluster_M*.in: T=4, m0=0.25)."""
+    instead, VERDICT r2 item 5).  Matches the baseline runs' physics AND
+    cluster count (baselines/logs/rotor_cluster_M*.in: T=4, m0=0.25,
+    n_updates=10 — r3 ran n_updates=5, leaving tau_int ~20% above the
+    reference's 1.05-1.13; VERDICT r3 item 8)."""
     from mlmcpathintegral_tpu.lattice import Lattice1D
     from mlmcpathintegral_tpu.models.rotor import RotorAction
     from mlmcpathintegral_tpu.qoi import qoi_susceptibility
@@ -580,7 +655,7 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096, n_updates: int = 5):
                              vectorised=True)
     qoi = qoi_susceptibility(action)
     stats = Statistics("chit", 40)
-    key = jax.random.PRNGKey(3)
+    key = jax.random.PRNGKey(seed)
     k_prep, k_run = jax.random.split(key)
     STEPS = 128
 
@@ -618,7 +693,7 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096, n_updates: int = 5):
     base = _ref_eff(f"rotor_cluster_M{M}", core_scaled=True)
     return {
         "bench": "rotor_cluster_vec", "M": M, "n_chains": C,
-        "n_updates": n_updates,
+        "n_updates": n_updates, "seed": seed,
         "samples_per_sec": round(n_samples / wall, 1),
         "tau_int": round(tau, 3),
         "avg_chit": round(avg, 5),
@@ -632,17 +707,34 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096, n_updates: int = 5):
 
 def bench_rotor(use_pallas: bool = True):
     """Rotor chi_t across M = 64/128/256 with the cluster sampler, each
-    size vs its own reference baseline (rotor_cluster_M64/128/256);
-    headline vs_baseline = the minimum across sizes."""
-    rows = [bench_rotor_cluster_M(M) for M in (64, 128, 256)]
+    size vs its own reference baseline (rotor_cluster_M64/128/256).
+    Per size the row is the median-of-3-seeds by effective throughput
+    (VERDICT r3 item 8: one seed left the oracle gate a fluctuation away
+    from failing); sigma_dev is the worst across the reported rows and
+    headline vs_baseline the minimum across sizes.  An n_updates=5
+    single-seed sensitivity row per size documents the tau/cost
+    trade-off against the reference's n_updates=10."""
+    rows = []
+    for M in (64, 128, 256):
+        runs = sorted((bench_rotor_cluster_M(M, seed=s)
+                       for s in (3, 17, 29)),
+                      key=lambda r: r["eff_samples_per_sec"])
+        med = dict(runs[1])
+        med["eff_min_max"] = [runs[0]["eff_samples_per_sec"],
+                              runs[-1]["eff_samples_per_sec"]]
+        med["sigma_dev_seeds"] = [r["sigma_dev"] for r in runs]
+        med["tau_int_seeds"] = [r["tau_int"] for r in runs]
+        rows.append(med)
+    sens = [bench_rotor_cluster_M(M, n_updates=5) for M in (64, 128, 256)]
     vs = [r["vs_baseline"] for r in rows if r["vs_baseline"]]
     return {
         "bench": "rotor_cluster_vec_M64_128_256",
         "tau_int": [r["tau_int"] for r in rows],
-        "sigma_dev": max(r["sigma_dev"] for r in rows),
+        "sigma_dev": max(max(r["sigma_dev_seeds"]) for r in rows),
         "eff_samples_per_sec": min(r["eff_samples_per_sec"] for r in rows),
         "vs_baseline": round(min(vs), 2) if vs else None,
         "sizes": rows,
+        "n_updates_sensitivity": sens,
     }
 
 
@@ -694,6 +786,11 @@ def main():
         gff = bench_gff_twolevel()
     except Exception as e:
         gff = {"error": repr(e)[:200]}
+    qua = None
+    try:
+        qua = bench_quartic_twolevel()
+    except Exception as e:
+        qua = {"error": repr(e)[:200]}
     detail = {
         "headline": mlmc.get("bench"),
         "schwinger_mlmc": _gate(mlmc),
@@ -702,6 +799,7 @@ def main():
         "harmonic": _gate(har),
         "rotor": _gate(rot),
         "gff_twolevel": _gate(gff),
+        "quartic_twolevel": _gate(qua),
         "backend": _BACKEND,
     }
     # full detail on disk; ONLY a compact driver-parseable line on the
@@ -720,7 +818,7 @@ def main():
         "secondary_vs_baseline": {
             k: (detail[k] or {}).get("vs_baseline")
             for k in ("schwinger_pallas", "harmonic", "rotor",
-                      "gff_twolevel")},
+                      "gff_twolevel", "quartic_twolevel")},
         "detail_file": "BENCH_detail.json",
     }
     print(json.dumps(headline))

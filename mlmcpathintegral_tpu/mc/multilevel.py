@@ -24,6 +24,7 @@ driver_qm.cc:382-386), every level here is chain-parallel.
 from __future__ import annotations
 
 import functools
+import logging
 import math
 import time
 
@@ -143,7 +144,11 @@ class MonteCarloMultiLevel:
             block //= 2
         while n_chains % block:
             block //= 2
-        return max(block, min(min_block, n_chains))
+        # clamp up to the lane-width block only when it still divides
+        # n_chains (ADVICE r3: unconditionally clamping made e.g.
+        # n_chains=192 dispatch with block 128, which the kernel rejects)
+        blk = max(block, min(min_block, n_chains))
+        return blk if n_chains % blk == 0 else block
 
     #: max in-kernel coarse sweeps per launch: bounds both the qc-trace
     #: VMEM block and the single-launch runtime (very long launches at
@@ -212,7 +217,9 @@ class MonteCarloMultiLevel:
                        n_indep + float(chunk_size))
             cstate = type(cstate)(x=thc)
             tl_new = type(tl)(theta=thf, S_fine=sf, S_cond=sq)
-            return (cstate, tl_new, st_y, st_cs, t_accum)
+            # per-step cross-chain Y mean: feeds the binning reliability
+            # cross-check of a window-capped tau (VERDICT r3 item 3)
+            return (cstate, tl_new, st_y, st_cs, t_accum), jnp.mean(y, axis=1)
 
         return chunk
 
@@ -260,7 +267,8 @@ class MonteCarloMultiLevel:
             sum_t, n_indep = t_accum
             t_accum = (sum_t + t_sub * chunk_size,
                        n_indep + float(chunk_size))
-            return (type(cstate)(x=x), st_y, st_cs, t_accum)
+            return (type(cstate)(x=x), st_y, st_cs, t_accum), \
+                jnp.mean(y, axis=1)
 
         return chunk_L
 
@@ -289,8 +297,25 @@ class MonteCarloMultiLevel:
 
     @staticmethod
     def _is_vmem_oom(err) -> bool:
-        s = str(err)
-        return ("vmem" in s.lower() and "memory" in s.lower())
+        """True only for Mosaic/XLA scoped-VMEM exhaustion.
+
+        Narrowed (VERDICT r3 item 9 / ADVICE r3): require an XLA runtime
+        error class (or jax's re-raised JaxRuntimeError) whose message
+        names VMEM together with an exhaustion verb — Mosaic words these
+        'Scoped allocation of N bytes ... exceeds VMEM limit' or
+        'RESOURCE_EXHAUSTED ... vmem' — so a genuine miscompile that
+        merely mentions memory is raised on first failure instead of
+        being retried 5 times.
+        """
+        names = {type(e).__name__ for e in (err, err.__cause__,
+                                            err.__context__) if e}
+        if not names & {"XlaRuntimeError", "JaxRuntimeError",
+                        "MosaicError", "InternalError"}:
+            return False
+        s = str(err).lower()
+        return "vmem" in s and ("exceed" in s or "alloc" in s
+                                or "resource_exhausted" in s
+                                or "memory" in s)
 
     def _build_kernels(self):
         self._chunk = []
@@ -318,6 +343,10 @@ class MonteCarloMultiLevel:
                             shrink *= 2
                             self._block_shrink[k] = shrink
                             self._fused_cache.pop(k, None)
+                            logging.getLogger(__name__).warning(
+                                "mlmc level %d: VMEM OOM, shrinking "
+                                "chain block by %dx and recompiling",
+                                ell, shrink)
 
                 self._chunk.append(dispatch)
                 continue
@@ -338,11 +367,11 @@ class MonteCarloMultiLevel:
                     tl, _ = step.draw(k2, tl, xc)
                     y = qoi_f(tl.theta) - qoi_c(xc)
                     st_y = stats_mod.record_masked(st_y, y, i < n_active)
-                    return (cstate, tl, st_y, st_cs, t_accum), None
+                    return (cstate, tl, st_y, st_cs, t_accum), jnp.mean(y)
                 keys = jax.random.split(key, self.chunk_size)
                 idx = jnp.arange(self.chunk_size)
-                carry, _ = jax.lax.scan(body, carry, (keys, idx))
-                return carry
+                carry, ybar = jax.lax.scan(body, carry, (keys, idx))
+                return carry, ybar
 
             self._chunk.append(jax.jit(chunk, donate_argnums=(1,)))
 
@@ -366,6 +395,9 @@ class MonteCarloMultiLevel:
                         shrink *= 2
                         self._block_shrink[k] = shrink
                         self._fused_cache.pop(k, None)
+                        logging.getLogger(__name__).warning(
+                            "mlmc coarsest level: VMEM OOM, shrinking "
+                            "chain block by %dx and recompiling", shrink)
 
             self._chunk_L = dispatch_L
             return
@@ -381,11 +413,11 @@ class MonteCarloMultiLevel:
                                                      t_accum)
                 y = qoi_L(draw_coarse.sampler.x_of(cstate))
                 st_y = stats_mod.record_masked(st_y, y, i < n_active)
-                return (cstate, st_y, st_cs, t_accum), None
+                return (cstate, st_y, st_cs, t_accum), jnp.mean(y)
             keys = jax.random.split(key, self.chunk_size)
             idx = jnp.arange(self.chunk_size)
-            carry, _ = jax.lax.scan(body, carry, (keys, idx))
-            return carry
+            carry, ybar = jax.lax.scan(body, carry, (keys, idx))
+            return carry, ybar
 
         self._chunk_L = jax.jit(chunk_L, donate_argnums=(1,))
 
@@ -476,6 +508,9 @@ class MonteCarloMultiLevel:
         self.timings["prepare_s"] = time.monotonic() - t_start
 
         self.chunk_log = []   # (ell, dispatch_s, block_s) per run_level call
+        #: per-level per-step cross-chain Y means recorded since the last
+        #: reset — the series behind the binning reliability cross-check
+        self._ybar_history = [[] for _ in range(L)]
 
         def run_level(ell, carry, n_more, key_run):
             """Record n_more further samples on level ell.  n_more=0
@@ -492,9 +527,13 @@ class MonteCarloMultiLevel:
                 # type, distinct from the burn-in path's dtype)
                 n_dev = jnp.asarray(n, jnp.int32)
                 if ell == L - 1:
-                    carry = self._chunk_L(sub, carry, n_dev)
+                    carry, ybar = self._chunk_L(sub, carry, n_dev)
                 else:
-                    carry = self._chunk[ell](sub, carry, n_dev)
+                    carry, ybar = self._chunk[ell](sub, carry, n_dev)
+                if n > 0:
+                    # recorded steps are the first n of the chunk; keep
+                    # the [n] vector on device, pulled once at the end
+                    self._ybar_history[ell].append(ybar[:n])
                 done += n
                 n_chunks += 1
             t_d1 = time.monotonic()
@@ -542,6 +581,7 @@ class MonteCarloMultiLevel:
                    for (cs, tl, st_y, st_cs, ta) in carries]
         carry_L = (carry_L[0], stats_mod.soft_reset(carry_L[1]),
                    carry_L[2], carry_L[3])
+        self._ybar_history = [[] for _ in range(L)]
         if verbose:
             print("Burnin completed")
         jax.block_until_ready(carry_L)
@@ -611,7 +651,13 @@ class MonteCarloMultiLevel:
                 c = carry_L if ell == L - 1 else carries[ell]
                 st_y = c[1] if ell == L - 1 else c[2]
                 V.append(max(self.stats_qoi[ell].variance(st_y), 0.0))
-                tau.append(self.stats_qoi[ell].tau_int(st_y))
+                t = self.stats_qoi[ell].tau_int(st_y)
+                if self.stats_qoi[ell].window_capped(st_y):
+                    # windowed tau is a lower bound: cross-check with the
+                    # binning estimate so the allocation does not
+                    # undersample a slowly-decorrelating level
+                    t = max(t, self._tau_binning_level(ell))
+                tau.append(t)
                 C_eff.append(math.ceil(tau[ell]) * self.cost_per_sample[ell])
             S = sum(math.sqrt(v * c) for v, c in zip(V, C_eff))
             n_target = [
@@ -638,9 +684,70 @@ class MonteCarloMultiLevel:
             c = carry_L if ell == L - 1 else carries[ell]
             stats.append(c[1] if ell == L - 1 else c[2])
         self._final_stats = stats
+        self.reliability = self._assess_reliability(stats)
         return stats
 
     # -------------------------------------------------------------------------
+
+    def _tau_binning_level(self, ell) -> float:
+        """Binning tau estimate for level ell's recorded Y series (the
+        per-step cross-chain means collected by run_level)."""
+        import numpy as np
+        hist = self._ybar_history[ell]
+        if not hist:
+            return 1.0
+        return stats_mod.tau_binning(np.concatenate(
+            [np.asarray(h, np.float64) for h in hist]))
+
+    def _assess_reliability(self, stats):
+        """Per-level reliability report (VERDICT r3 item 3): surface
+        window_capped and a binning cross-check of tau so a
+        confident-but-wrong estimate flags itself instead of quoting a
+        tight error bar with an underestimated tau (the committed r3
+        64x64 fixed-beta study failed exactly this way, 17.9 sigma off
+        with window-capped tau; cf. statistics.cc:82-90 which caps
+        silently).  A level is flagged when its windowed tau is capped
+        AND the binning estimate exceeds it by >1.5x."""
+        out = []
+        for ell in range(self.n_level):
+            st_y = stats[ell]
+            capped = self.stats_qoi[ell].window_capped(st_y)
+            tau_w = self.stats_qoi[ell].tau_int(st_y)
+            tau_b = self._tau_binning_level(ell) if capped else None
+            tau_eff = max(tau_w, tau_b) if tau_b is not None else tau_w
+            out.append({
+                "level": ell,
+                "window_capped": bool(capped),
+                "tau_int": float(tau_w),
+                "tau_binning": (None if tau_b is None else float(tau_b)),
+                "tau_eff": float(tau_eff),
+                "flagged": bool(capped and tau_eff > 1.5 * tau_w),
+            })
+        return out
+
+    @property
+    def reliable(self) -> bool:
+        """False when any level's tau_int is window-capped and the
+        binning cross-check says it is substantially underestimated —
+        the reported statistical_error is then too small."""
+        rel = getattr(self, "reliability", None)
+        return rel is None or not any(r["flagged"] for r in rel)
+
+    def statistical_error_robust(self, stats=None) -> float:
+        """Statistical error with each level's tau replaced by
+        max(windowed, binning) — an upper-bound error bar that stays
+        honest when the autocorrelation window saturates."""
+        stats = stats if stats is not None else self._final_stats
+        rel = getattr(self, "reliability", None) or \
+            self._assess_reliability(stats)
+        tot = 0.0
+        for ell in range(self.n_level):
+            n = self.stats_qoi[ell].samples(stats[ell])
+            if n == 0:
+                return float("inf")
+            v = max(self.stats_qoi[ell].variance(stats[ell]), 0.0)
+            tot += rel[ell]["tau_eff"] * v / n
+        return math.sqrt(tot)
 
     def numerical_result(self, stats=None) -> float:
         stats = stats if stats is not None else self._final_stats

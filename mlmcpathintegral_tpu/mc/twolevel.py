@@ -157,8 +157,10 @@ class MonteCarloTwoLevel:
         # accepted-move count accumulates ON DEVICE: an int(n_acc) pull
         # per chunk would serialise the dispatch pipeline on a tunnelled
         # TPU (VERDICT r2 weak-point 1)
-        n_accepted = jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
-                               else jnp.int32)
+        # float accumulator: int32 wraps past 2^31 accepted moves on long
+        # runs (ADVICE r3); per-chunk counts stay exact in int32
+        n_accepted = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
         n_done = 0
         # burn-in phase: discard into the masked region (n_active=chunk);
         # afterwards hard-reset the Y statistics (montecarlotwolevel.cc:66-69)
@@ -181,12 +183,12 @@ class MonteCarloTwoLevel:
             n = min(self.chunk_size, local_target - n_done)
             k_run, sub = jax.random.split(k_run)
             carry, n_acc = self._chunk(sub, carry, n)
-            n_accepted = n_accepted + n_acc
+            n_accepted = n_accepted + n_acc.astype(n_accepted.dtype)
             n_done += n
         jax.block_until_ready(carry)
         self.elapsed_s = time.monotonic() - t0
         cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
-        self.p_accept = int(n_accepted) / (n_done * n_chains)
+        self.p_accept = float(n_accepted) / (n_done * n_chains)
         sum_t, n_indep = t_accum
         self.t_indep = float(sum_t) / max(float(n_indep), 1.0)
         return {"fine": st_f, "coarse": st_c, "diff": st_d,

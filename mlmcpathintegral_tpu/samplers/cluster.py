@@ -57,10 +57,15 @@ class ClusterSampler(Sampler):
     def _single_cluster_update(self, key, x):
         act = self.action
         C, M = x.shape
-        k_refl, k_seed, k_fwd, k_bwd = jax.random.split(key, 4)
+        k_refl, k_seed, k_walk = jax.random.split(key, 3)
         xbar = act.new_reflection(k_refl, C, x.dtype)          # [C]
         i0 = jax.random.randint(k_seed, (C,), 0, M)            # [C]
+        return self._walk_core(k_walk, x, xbar, i0)
 
+    def _walk_core(self, key, x, xbar, i0):
+        act = self.action
+        C, M = x.shape
+        k_fwd, k_bwd = jax.random.split(key, 2)
         chain = jnp.arange(C)
         # flip the seed site
         x = x.at[chain, i0].set(act.flip(x[chain, i0], xbar))
@@ -119,9 +124,15 @@ class ClusterSampler(Sampler):
         """
         act = self.action
         C, M = x.shape
-        k_refl, k_seed, k_fwd, k_bwd = jax.random.split(key, 4)
+        k_refl, k_seed, k_vec = jax.random.split(key, 3)
         xbar = act.new_reflection(k_refl, C, x.dtype)            # [C]
         i0 = jax.random.randint(k_seed, (C,), 0, M)              # [C]
+        return self._vector_core(k_vec, x, xbar, i0)
+
+    def _vector_core(self, key, x, xbar, i0):
+        act = self.action
+        C, M = x.shape
+        k_fwd, k_bwd = jax.random.split(key, 2)
 
         # undirected bond b: sites (b, b+1); S_ell of the ORIGINAL config
         s_orig = act.S_ell(x, jnp.roll(x, -1, axis=-1),
@@ -135,7 +146,14 @@ class ClusterSampler(Sampler):
         cols = jnp.arange(M)[None, :]                            # [1, M]
         rel = (cols - i0[:, None]) % M     # forward walk order of bond b
         rel_b = (i0[:, None] - cols) % M   # site distance going left
-        k_bw = rel_b - 1                   # backward walk order of bond b
+        # backward walk order of bond b; rel_b==0 maps to M-1: after a
+        # fully-wrapping backward walk (only reachable when the first
+        # forward bond is closed, B_lim==M) the reference re-tests bond
+        # (i0, i0+1) with both endpoints flipped and may re-flip the seed
+        # (clustersampler.cc:108-113 do-while exits on i_m==i_last_p only
+        # AFTER the flip).  For F_raw>=1 this bond's order M-1 >= B_lim,
+        # so including it never changes B.
+        k_bw = (rel_b - 1) % M
 
         # forward: bond at rel = k is tested k-th; rel = M-1 is the
         # full-wrap link with both endpoints flipped
@@ -157,10 +175,7 @@ class ClusterSampler(Sampler):
                                (F_raw < M)[:, None])
         p_b = jnp.where(term, p_two, p_one)
         closed_b = u_b >= p_b
-        # k_bw = -1 is the bond (i0, i0+1) — forward bond 0, never
-        # tested backward
-        B_raw = jnp.min(jnp.where(jnp.logical_and(closed_b, k_bw >= 0),
-                                  k_bw, M), axis=-1)
+        B_raw = jnp.min(jnp.where(closed_b, k_bw, M), axis=-1)
         B = jnp.minimum(B_raw, B_lim)                            # [C]
         n_flips = ((rel == 0).astype(jnp.int32)
                    + jnp.logical_and(rel >= 1,
@@ -171,7 +186,11 @@ class ClusterSampler(Sampler):
                    # second time (clustersampler.cc do-while exits only
                    # after the flip)
                    + jnp.logical_and(rel == 0,
-                                     (F_raw >= M)[:, None]).astype(jnp.int32))
+                                     (F_raw >= M)[:, None]).astype(jnp.int32)
+                   # full BACKWARD wrap (F_raw==0, all M backward links
+                   # open): the terminal link re-flips the seed
+                   + jnp.logical_and(rel == 0,
+                                     (B >= M)[:, None]).astype(jnp.int32))
         odd = (n_flips % 2) == 1
         return jnp.where(odd, act.flip(x, xbar[:, None]), x)
 

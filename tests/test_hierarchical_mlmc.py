@@ -93,3 +93,42 @@ def test_mlmc_adaptive_epsilon_mode():
     oracle = act.Xsquared_analytical()
     assert mc.statistical_error() < eps
     assert abs(num - oracle) < 4 * max(mc.statistical_error(), 1e-4)
+
+
+def test_mlmc_self_flags_window_capped_tau():
+    """VERDICT r3 item 3: a slowly-decorrelating level whose tau_int
+    saturates the autocorrelation window must flag itself (reliability
+    report + robust error) instead of quoting a tight wrong error bar —
+    the failure mode of the r3 64x64 fixed-beta scale study."""
+    import jax
+    import jax.numpy as jnp
+
+    from mlmcpathintegral_tpu.conditioned import make_conditioned_fine_action
+    from mlmcpathintegral_tpu.lattice import Lattice1D
+    from mlmcpathintegral_tpu.mc import MonteCarloMultiLevel
+    from mlmcpathintegral_tpu.models import HarmonicOscillatorAction
+    from mlmcpathintegral_tpu.qoi import qoi_x_squared
+    from mlmcpathintegral_tpu.samplers import HMCSampler
+
+    act = HarmonicOscillatorAction(Lattice1D(M_lat=16, T_final=4.0),
+                                   m0=1.0, mu2=1.0)
+    # nt*dt = 0.08: tiny HMC moves => tau ~30 >> window 4 (and the
+    # series is long enough for the binning plateau to resolve it)
+    mc = MonteCarloMultiLevel(
+        act, qoi_x_squared,
+        coarse_sampler_factory=lambda a: HMCSampler(a, nt=1, dt=0.08,
+                                                    n_burnin=20),
+        conditioned_fine_action_factory=make_conditioned_fine_action,
+        n_level=2, n_burnin=50, n_samples=128000, chunk_size=200,
+        n_autocorr_window=4)
+    mc.evaluate(jax.random.PRNGKey(5), n_chains=64, dtype=jnp.float64)
+    rel = mc.reliability
+    coarsest = rel[-1]
+    assert coarsest["window_capped"], rel
+    assert coarsest["tau_binning"] is not None
+    assert coarsest["tau_binning"] > 1.5 * coarsest["tau_int"], rel
+    assert coarsest["flagged"] and not mc.reliable
+    # the robust error bar must be materially wider than the naive one
+    assert (mc.statistical_error_robust()
+            > 1.2 * mc.statistical_error()), (
+        mc.statistical_error_robust(), mc.statistical_error())

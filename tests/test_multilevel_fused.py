@@ -34,3 +34,78 @@ def test_fused_mlmc_matches_oracle():
     # would mean a slow coarse sampler; heat bath at 4x4 decorrelates
     # fast, so it should stay small but defined)
     assert all(1 <= t <= mc.t_max for t in mc._t_sub)
+
+
+def test_vmem_oom_retry_shrinks_once():
+    """VERDICT r3 item 9: the dispatch retry must (a) shrink exactly when
+    the error is a real scoped-VMEM exhaustion, logging the shrink, and
+    (b) re-raise anything else on first failure."""
+    import logging
+
+    class XlaRuntimeError(Exception):
+        pass
+
+    lat = Lattice2D(8, 8, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(lat, beta=4.0)
+    mc = MonteCarloMultiLevel(
+        act, qoi_2d_susceptibility,
+        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+            a, n_burnin=10),
+        conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
+        n_level=2, n_burnin=20, n_samples=100, chunk_size=10,
+        use_pallas=True, pallas_interpret=True)
+
+    oom = XlaRuntimeError(
+        "RESOURCE_EXHAUSTED: Mosaic failed: Scoped allocation of "
+        "23886080 bytes exceeds VMEM limit of 16777216")
+    assert mc._is_vmem_oom(oom)
+    assert not mc._is_vmem_oom(XlaRuntimeError(
+        "INTERNAL: Mosaic miscompile: unexpected operand"))
+    # a non-XLA error class never triggers the retry even if it
+    # mentions memory words
+    assert not mc._is_vmem_oom(ValueError(
+        "vmem layout exceeds expectation"))
+
+    real_make = mc._make_fused_chunk
+    calls = []
+
+    def flaky_make(ell, t_sub, n_chains, block_shrink=1):
+        calls.append(block_shrink)
+        if len(calls) == 1:
+            def boom(key, carry, n_active):
+                raise oom
+            return boom
+        return real_make(ell, t_sub, n_chains, block_shrink=block_shrink)
+
+    mc._make_fused_chunk = flaky_make
+    mc._fused_cache.clear()
+    mc._block_shrink.clear()
+    mc.evaluate(jax.random.PRNGKey(3), n_chains=128, dtype=jnp.float32)
+    # the retry re-built the failing kernel with exactly one shrink step
+    assert len(calls) >= 2 and calls[1] == 2, calls
+    assert any(v == 2 for v in mc._block_shrink.values())
+
+    # a non-OOM failure surfaces immediately, without shrink
+    mc2 = MonteCarloMultiLevel(
+        act, qoi_2d_susceptibility,
+        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+            a, n_burnin=10),
+        conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
+        n_level=2, n_burnin=20, n_samples=100, chunk_size=10,
+        use_pallas=True, pallas_interpret=True)
+
+    def bad_make(ell, t_sub, n_chains, block_shrink=1):
+        def boom(key, carry, n_active):
+            raise XlaRuntimeError("INTERNAL: Mosaic miscompile")
+        return boom
+
+    mc2._make_fused_chunk = bad_make
+    mc2._fused_cache.clear()
+    try:
+        mc2.evaluate(jax.random.PRNGKey(4), n_chains=128,
+                     dtype=jnp.float32)
+        raised = False
+    except XlaRuntimeError:
+        raised = True
+    assert raised
+    assert not mc2._block_shrink

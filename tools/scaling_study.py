@@ -31,17 +31,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def run_mesh_scaling(per_device_chains=256, chunk_size=32, n_chunks=4):
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8"
-                               ).strip()
-    import jax
-    jax.config.update("jax_default_device",
-                      jax.local_devices(backend="cpu")[0])
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.sharding import Mesh
-
+def _mesh_mc_factory():
     from mlmcpathintegral_tpu.conditioned.schwinger import (
         make_schwinger_conditioned_fine_action,
     )
@@ -54,29 +44,59 @@ def run_mesh_scaling(per_device_chains=256, chunk_size=32, n_chunks=4):
     from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
     from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
 
-    devices = jax.local_devices(backend="cpu")
-    rows = []
-    for n_dev in (1, 2, 4, 8):
-        C = per_device_chains * n_dev
+    def make(n_samples, chunk_size):
         lat = Lattice2D(8, 8, CoarseningType.BOTH)
         act = QuenchedSchwingerAction(
             lat, beta=4.0,
             renormalisation=RenormalisationType.NONPERTURBATIVE)
-        mc = MonteCarloTwoLevel(
+        return MonteCarloTwoLevel(
             act, qoi_2d_susceptibility,
             coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
                 a, n_sweep_heatbath=1, n_sweep_overrelax=1, n_burnin=20),
             conditioned_fine_action_factory=(
                 make_schwinger_conditioned_fine_action),
-            n_burnin=20, n_samples=chunk_size * n_chunks * C,
-            chunk_size=chunk_size)
+            n_burnin=20, n_samples=n_samples, chunk_size=chunk_size)
+    return make
+
+
+def run_mesh_scaling(per_device_chains=256, chunk_size=32, n_chunks=4,
+                     total_chains_control=2048):
+    """Two tables on the virtual CPU mesh:
+
+    mode=weak     fixed per-device chains, 1->8 devices.  On this host
+                  the 8 virtual devices share only {ncores} real cores,
+                  so the raw efficiency mixes host contention with
+                  genuine partitioning overhead.
+    mode=control  fixed TOTAL chains (and total samples) across 1->8
+                  devices: total host compute is constant, so any wall
+                  growth with device count is pure partitioning/
+                  collective overhead — the separation VERDICT r3
+                  item 5 asked for.
+    """
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+    import jax
+    jax.config.update("jax_default_device",
+                      jax.local_devices(backend="cpu")[0])
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    make = _mesh_mc_factory()
+    devices = jax.local_devices(backend="cpu")
+    rows = []
+    for n_dev in (1, 2, 4, 8):
+        C = per_device_chains * n_dev
+        n = chunk_size * n_chunks * C
+        mc = make(n, chunk_size)
         mesh = Mesh(np.array(devices[:n_dev]), ("chains",))
         t0 = time.monotonic()
         mc.evaluate_difference(jax.random.PRNGKey(0), n_chains=C,
                                dtype=jnp.float64, mesh=mesh)
         wall = time.monotonic() - t0
-        n = chunk_size * n_chunks * C
         rows.append({
+            "mode": "weak",
             "n_devices": n_dev, "n_chains": C,
             "per_device_chains": per_device_chains,
             "n_samples": n, "wall_s": round(wall, 3),
@@ -86,7 +106,32 @@ def run_mesh_scaling(per_device_chains=256, chunk_size=32, n_chunks=4):
     w1 = rows[0]["wall_s"]
     for r in rows:
         r["weak_efficiency"] = round(w1 / r["wall_s"], 3)
-    return rows
+
+    # fixed-total-host-load control: same chains/samples on every row
+    ctrl = []
+    C = total_chains_control
+    n = chunk_size * n_chunks * C
+    for n_dev in (1, 2, 4, 8):
+        mc = make(n, chunk_size)
+        mesh = Mesh(np.array(devices[:n_dev]), ("chains",))
+        t0 = time.monotonic()
+        mc.evaluate_difference(jax.random.PRNGKey(0), n_chains=C,
+                               dtype=jnp.float64, mesh=mesh)
+        wall = time.monotonic() - t0
+        ctrl.append({
+            "mode": "control",
+            "n_devices": n_dev, "n_chains": C,
+            "per_device_chains": C // n_dev,
+            "n_samples": n, "wall_s": round(wall, 3),
+            "samples_per_sec": round(n / wall, 1),
+        })
+        print(ctrl[-1], flush=True)
+    w1 = ctrl[0]["wall_s"]
+    for r in ctrl:
+        # partitioning overhead isolated from host contention: total
+        # work identical on all rows
+        r["weak_efficiency"] = round(w1 / r["wall_s"], 3)
+    return rows + ctrl
 
 
 def run_chain_scaling():
