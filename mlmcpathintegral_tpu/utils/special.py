@@ -138,12 +138,26 @@ def compute_In(x: float, nmax: int = 20):
                 -math.pi, math.pi, weight="sin", wvar=n,
                 epsabs=1e-15, epsrel=1e-12, limit=512,
             )
-        ddIn[n], _ = integrate.quad(
-            lambda phi: 1.0 / (8.0 * math.pi**3) * phi * phi
-            * math.exp(x * (math.cos(phi) - 1.0)),
-            -math.pi, math.pi, weight="cos", wvar=n,
-            epsabs=1e-15, epsrel=1e-12, limit=512,
-        )
+        if n == 0:
+            # cos(0*phi) == 1: use the plain adaptive rule with a
+            # breakpoint at the peak.  QUADPACK's oscillatory rule with
+            # wvar=0 silently loses the sharply-peaked integrand at
+            # large x (x=256: returns ~3e-26 when the true value is
+            # ~2.5e-6), which zeroed the analytic chi_t on the 128x128
+            # continuum trajectory.
+            ddIn[n], _ = integrate.quad(
+                lambda phi: 1.0 / (8.0 * math.pi**3) * phi * phi
+                * math.exp(x * (math.cos(phi) - 1.0)),
+                -math.pi, math.pi, points=[0.0],
+                epsabs=1e-15, epsrel=1e-12, limit=512,
+            )
+        else:
+            ddIn[n], _ = integrate.quad(
+                lambda phi: 1.0 / (8.0 * math.pi**3) * phi * phi
+                * math.exp(x * (math.cos(phi) - 1.0)),
+                -math.pi, math.pi, weight="cos", wvar=n,
+                epsabs=1e-15, epsrel=1e-12, limit=512,
+            )
     return In, dIn, ddIn
 
 

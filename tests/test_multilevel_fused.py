@@ -72,6 +72,11 @@ def test_vmem_oom_retry_shrinks_once():
     def flaky_make(ell, t_sub, n_chains, block_shrink=1):
         calls.append(block_shrink)
         if len(calls) == 1:
+            # pretend the first build used the full block; the real
+            # rebuild below then reports a smaller one, so the
+            # pinned-at-floor fail-fast does not trigger
+            mc._last_built_block = 1 << 30
+
             def boom(key, carry, n_active):
                 raise oom
             return boom
@@ -95,6 +100,8 @@ def test_vmem_oom_retry_shrinks_once():
         use_pallas=True, pallas_interpret=True)
 
     def bad_make(ell, t_sub, n_chains, block_shrink=1):
+        mc2._last_built_block = 128
+
         def boom(key, carry, n_active):
             raise XlaRuntimeError("INTERNAL: Mosaic miscompile")
         return boom
@@ -109,3 +116,33 @@ def test_vmem_oom_retry_shrinks_once():
         raised = True
     assert raised
     assert not mc2._block_shrink
+
+    # pinned-at-floor: when shrinking cannot reduce the block, a real
+    # OOM surfaces after ONE futile rebuild instead of five
+    mc3 = MonteCarloMultiLevel(
+        act, qoi_2d_susceptibility,
+        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
+            a, n_burnin=10),
+        conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
+        n_level=2, n_burnin=20, n_samples=100, chunk_size=10,
+        use_pallas=True, pallas_interpret=True)
+    calls3 = []
+
+    def pinned_make(ell, t_sub, n_chains, block_shrink=1):
+        calls3.append(block_shrink)
+        mc3._last_built_block = 128     # floor, never shrinks
+
+        def boom(key, carry, n_active):
+            raise oom
+        return boom
+
+    mc3._make_fused_chunk = pinned_make
+    mc3._fused_cache.clear()
+    try:
+        mc3.evaluate(jax.random.PRNGKey(5), n_chains=128,
+                     dtype=jnp.float32)
+        raised = False
+    except XlaRuntimeError:
+        raised = True
+    assert raised
+    assert len(calls3) == 2, calls3

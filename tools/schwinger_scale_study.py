@@ -39,7 +39,7 @@ import jax.numpy as jnp  # noqa: E402
 def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
              epsilon=1e-2, n_chains=1024, chunk_size=256,
              use_pallas=True, interpret=False, block_chains=None,
-             seed=0, n_autocorr_window=64):
+             seed=0, n_autocorr_window=64, coarse="heatbath"):
     from mlmcpathintegral_tpu.conditioned.schwinger import (
         make_schwinger_conditioned_fine_action,
     )
@@ -50,15 +50,26 @@ def run_mlmc(Mt, Mx, *, beta=4.0, n_level=3, n_samples=1_000_000,
         QuenchedSchwingerAction,
     )
     from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
-    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+    from mlmcpathintegral_tpu.samplers import (
+        OverrelaxedHeatBathSampler, QuenchedSchwingerClusterSampler,
+    )
 
     lat = Lattice2D(Mt, Mx, CoarseningType.BOTH)
     act = QuenchedSchwingerAction(
         lat, beta=beta, renormalisation=RenormalisationType.NONPERTURBATIVE)
+    if coarse == "cluster":
+        # the reference's exact-sampler trick for the topological
+        # slowing of the heat bath at large beta_c: plaquettes <->
+        # rotor increments, Wolff cluster, tau ~ 1 flat in a
+        # (quenchedschwingerclustersampler.hh:22-37)
+        coarse_factory = lambda a: QuenchedSchwingerClusterSampler(
+            a, n_burnin=100)
+    else:
+        coarse_factory = lambda a: OverrelaxedHeatBathSampler(
+            a, n_burnin=100)
     mc = MonteCarloMultiLevel(
         act, qoi_2d_susceptibility,
-        coarse_sampler_factory=lambda a: OverrelaxedHeatBathSampler(
-            a, n_burnin=100),
+        coarse_sampler_factory=coarse_factory,
         conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
         n_level=n_level, n_burnin=200, n_samples=n_samples,
         epsilon=epsilon, chunk_size=chunk_size,
@@ -126,6 +137,10 @@ def main():
     ap.add_argument("--n-samples", type=int, default=1_000_000)
     ap.add_argument("--sizes", default="16,32,64")
     ap.add_argument("--epsilons", default="2e-2,1e-2,5e-3,2.5e-3")
+    ap.add_argument("--coarse", default="heatbath",
+                    choices=["heatbath", "cluster"])
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="generic XLA chunks instead of fused kernels")
     args = ap.parse_args()
 
     rows = []
@@ -143,7 +158,9 @@ def main():
                     r = run_mlmc(M, M, beta=beta, n_level=3,
                                  n_samples=args.n_samples,
                                  n_chains=args.n_chains,
-                                 interpret=args.interpret)
+                                 interpret=args.interpret,
+                                 coarse=args.coarse,
+                                 use_pallas=not args.no_pallas)
                     break
                 except Exception as e:
                     # the tunnelled device occasionally drops with
@@ -159,7 +176,9 @@ def main():
         for eps in [float(s) for s in args.epsilons.split(",")]:
             r = run_mlmc(16, 16, n_level=3, n_samples=0, epsilon=eps,
                          n_chains=args.n_chains,
-                         interpret=args.interpret)
+                         interpret=args.interpret,
+                         coarse=args.coarse,
+                         use_pallas=not args.no_pallas)
             print(r, flush=True)
             rows.append(r)
     if args.csv and rows:
