@@ -105,6 +105,13 @@ class MonteCarloMultiLevel:
         act = self.actions[ell]
         if type(act) is not QuenchedSchwingerAction:
             return False
+        if not self._factory_is_heatbath(self.coarse_samplers[ell]):
+            # the fused kernel runs its own in-kernel heat-bath coarse
+            # chain; silently replacing a user-chosen sampler (e.g. the
+            # exact rotor-equivalence cluster sampler, which decorrelates
+            # ~50x faster at large beta_c) would override the factory —
+            # run such levels unfused with the requested sampler instead
+            return False
         lat = act.lattice
         if not self._fused_fields_fit(lat.nedges, lat.nedges // 4):
             return False
@@ -120,7 +127,16 @@ class MonteCarloMultiLevel:
         )
         if not self._fused_fields_fit(self.actions[-1].lattice.nedges, 0):
             return False
+        if not self._factory_is_heatbath(self.coarsest_sampler):
+            return False
         return type(self.actions[-1]) is QuenchedSchwingerAction
+
+    @staticmethod
+    def _factory_is_heatbath(sampler) -> bool:
+        from mlmcpathintegral_tpu.samplers.heatbath import (
+            OverrelaxedHeatBathSampler,
+        )
+        return isinstance(sampler, OverrelaxedHeatBathSampler)
 
     def _setup_fused(self):
         """Swap in heat-bath coarse samplers for fused levels (the
