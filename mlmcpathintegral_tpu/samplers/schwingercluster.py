@@ -97,9 +97,28 @@ class QuenchedSchwingerClusterSampler(Sampler):
 
         # random gauge transformation: theta(i, j) per site;
         # T(i,j) += theta(i,j) - theta(i+1,j); X(i,j) += theta(i,j) - theta(i,j+1)
-        th = jax.random.uniform(key, (C, Mx, Mt), dtype, -math.pi, math.pi)
+        k_th, k_ph = jax.random.split(key)
+        th = jax.random.uniform(k_th, (C, Mx, Mt), dtype, -math.pi, math.pi)
         T = mod_2pi(T + th - jnp.roll(th, -1, axis=-1))
         X = mod_2pi(X + th - jnp.roll(th, -1, axis=-2))
+
+        # randomise the two torus Wilson-line phases: the link measure
+        # factorises as (plaquettes) x (gauge orbit) x (2 global phases,
+        # uniform); the reconstruction pins the phases to functions of
+        # the rotor path and gauge transformations cannot move them
+        # (periodic theta telescopes to zero around a cycle).  Plaquette
+        # observables are blind to this, but as a COARSE PROPOSAL inside
+        # the delayed-acceptance screen the pinned phases make the
+        # proposal density differ from exp(-S_c) d(links), biasing the
+        # screened fine chain (measured: chi_t 3 sigma low at 32x32
+        # beta=16).  A uniform shift u/Mt on every temporal link (and
+        # u'/Mx on every spatial link) leaves all plaquettes unchanged
+        # and makes the phases uniform.  The reference omits this
+        # (quenchedschwingerclustersampler.cc:70-82).
+        u = jax.random.uniform(k_ph, (C, 1, 1, 2), dtype,
+                               -math.pi, math.pi)
+        T = mod_2pi(T + u[..., 0] / Mt)
+        X = mod_2pi(X + u[..., 1] / Mx)
 
         g = jnp.stack([T, X], axis=-1)           # [C, Mx, Mt, 2]
         return g.reshape(C, 2 * Mt * Mx)

@@ -159,25 +159,33 @@ def run_chain_scaling():
         s0 = jnp.zeros((C,), jnp.float32)
         seed = jnp.asarray([1, 2], jnp.int32)
 
+        REPS = 4
+
         def tl():
             return schwinger_twolevel_chain(
                 xf, xc, s0, s0, seed, beta=4.0, beta_c=1.06, Mt=8, Mx=8,
                 n_steps=STEPS, t_sub=4, block_chains=min(C, 1024))
 
-        out = tl(); jax.block_until_ready(out)          # compile+warm
-        t0 = time.monotonic()
-        out = tl(); jax.block_until_ready(out)
-        w_tl = time.monotonic() - t0
+        def timed(fn):
+            # block_until_ready on the tunnelled axon platform does not
+            # reliably wait for execution; a host transfer of one output
+            # element does.  Time REPS chained calls and divide.
+            out = fn()
+            np.asarray(out[0])                      # compile+warm+sync
+            t0 = time.monotonic()
+            for _ in range(REPS):
+                out = fn()
+            np.asarray(out[0])                      # force completion
+            return (time.monotonic() - t0) / REPS
+
+        w_tl = timed(tl)
 
         def sw():
             return schwinger_sweep_chain(
                 xf, seed, beta=4.0, Mt=8, Mx=8, n_steps=STEPS,
                 block_chains=min(C, 1024))
 
-        out = sw(); jax.block_until_ready(out)
-        t0 = time.monotonic()
-        out = sw(); jax.block_until_ready(out)
-        w_sw = time.monotonic() - t0
+        w_sw = timed(sw)
 
         rows.append({
             "n_chains": C,
