@@ -410,7 +410,7 @@ def bench_schwinger(use_pallas: bool = False):
 
 def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
                          n_chains: int = 1024, chunk_size: int = 64,
-                         n_repeat: int = 1):
+                         n_repeat: int = 1, coarse: str = "heatbath"):
     """Full multilevel Schwinger susceptibility — the BASELINE.json
     north-star configuration (matches baselines/configs/
     ref_qft_schwinger_mlmc.in): estimate vs analytic oracle, wall-clock,
@@ -425,16 +425,30 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
         QuenchedSchwingerAction,
     )
     from mlmcpathintegral_tpu.qoi import qoi_2d_susceptibility
-    from mlmcpathintegral_tpu.samplers import QuenchedSchwingerClusterSampler
+    from mlmcpathintegral_tpu.samplers import (
+        OverrelaxedHeatBathSampler, QuenchedSchwingerClusterSampler,
+    )
 
     lat = Lattice2D(8, 8, CoarseningType.BOTH)
     act = QuenchedSchwingerAction(
         lat, beta=4.0, renormalisation=RenormalisationType.NONPERTURBATIVE)
     C, N_SAMPLES = n_chains, n_samples
+    if coarse == "cluster":
+        # the hybrid cluster+mix sampler (the reference config's
+        # coarsesampler='cluster' analog, unbiased since round 4); runs
+        # the unfused XLA path because fusing would override the sampler
+        factory = lambda a: QuenchedSchwingerClusterSampler(
+            a, n_burnin=20, n_updates=5)
+    else:
+        # heat-bath coarse chains run IN-KERNEL in the fused path — the
+        # fastest unbiased configuration on the chip (the headline);
+        # effective samples/s is decorrelation-normalised, so comparing
+        # against the reference's cluster-coarse run stays meaningful
+        factory = lambda a: OverrelaxedHeatBathSampler(
+            a, n_sweep_heatbath=1, n_sweep_overrelax=1, n_burnin=100)
     mc = MonteCarloMultiLevel(
         act, qoi_2d_susceptibility,
-        coarse_sampler_factory=lambda a: QuenchedSchwingerClusterSampler(
-            a, n_burnin=20, n_updates=5),
+        coarse_sampler_factory=factory,
         conditioned_fine_action_factory=make_schwinger_conditioned_fine_action,
         n_level=2, n_burnin=100, n_samples=N_SAMPLES,
         chunk_size=(256 if use_pallas else chunk_size),
@@ -481,7 +495,9 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
     worst_sigma = max(r["sigma_dev"] for r in runs)
     return {
         "bench": ("schwinger_mlmc_pallas" if use_pallas
-                  else "schwinger_mlmc"),
+                  else "schwinger_mlmc") + (
+                      "_cluster" if coarse == "cluster" else ""),
+        "coarse_sampler": coarse,
         "Mt": 8, "Mx": 8, "beta": 4.0,
         "n_level": 2, "n_chains": C, "n_samples_per_level": N_SAMPLES,
         "eff_samples_per_sec": med,
@@ -791,6 +807,16 @@ def main():
         qua = bench_quartic_twolevel()
     except Exception as e:
         qua = {"error": repr(e)[:200]}
+    mlmc_cluster = None
+    if on_tpu:
+        try:
+            # the reference config's own coarsesampler='cluster' analog:
+            # hybrid cluster+mix coarse chains on the unfused path
+            mlmc_cluster = bench_schwinger_mlmc(
+                use_pallas=True, n_samples=1_000_000, n_repeat=1,
+                coarse="cluster")
+        except Exception as e:
+            mlmc_cluster = {"error": repr(e)[:200]}
     detail = {
         "headline": mlmc.get("bench"),
         "schwinger_mlmc": _gate(mlmc),
@@ -800,6 +826,7 @@ def main():
         "rotor": _gate(rot),
         "gff_twolevel": _gate(gff),
         "quartic_twolevel": _gate(qua),
+        "schwinger_mlmc_cluster": _gate(mlmc_cluster),
         "backend": _BACKEND,
     }
     # full detail on disk; ONLY a compact driver-parseable line on the

@@ -35,8 +35,30 @@ class SchwingerClusterState(NamedTuple):
 
 
 class QuenchedSchwingerClusterSampler(Sampler):
+    """Hybrid exact sampler: Wolff clusters on the equivalent rotor path
+    move the TOPOLOGICAL sector in O(1) updates, then ``n_mix_sweeps``
+    overrelaxation + heat-bath sweeps on the reconstructed links move the
+    SMOOTH plaquette modes (which near-global clusters barely touch — a
+    whole-ring flip is close to an exact symmetry).  Both kernels
+    preserve the same equilibrium (the plaquette joint equals the rotor
+    increment joint, verified to 3e-15), so the composition does too, and
+    every mode decorrelates in a few draws.
 
-    def __init__(self, action, n_burnin: int = 100, n_updates: int = 10):
+    This matters for delayed acceptance: subsampling the coarse chain by
+    the QoI's tau_int assumes the QoI is the SLOWEST mode.  For the pure
+    cluster chain topology is the fastest mode and the smooth
+    configuration the slowest, so tau(chi_t)-based subsampling left
+    proposals correlated and measurably biased the screened fine chain
+    (+0.6% / 6 sigma at 8x8 beta=4, -2% at 32x32 beta=16 — the
+    reference's subsampling rule, montecarlotwolevel.cc:82-94, shares
+    this blind spot with its own cluster sampler).  With the mixing
+    sweeps (default 1) the bias is gone at the same cost scale; the
+    subsample clock additionally watches the plaquette energy
+    (``subsample_observable``).
+    """
+
+    def __init__(self, action, n_burnin: int = 100, n_updates: int = 10,
+                 n_mix_sweeps: int = 1):
         super().__init__(action)
         lat = action.lattice
         M = lat.Mt_lat * lat.Mx_lat
@@ -45,6 +67,7 @@ class QuenchedSchwingerClusterSampler(Sampler):
                                         m0=action.beta * lattice1d.a_lat)
         self.cluster = ClusterSampler(self.rotor_action, n_burnin=n_burnin,
                                       n_updates=n_updates)
+        self.n_mix_sweeps = int(n_mix_sweeps)
 
     def init(self, key, n_chains, dtype=None):
         dtype = dtype or default_dtype()
@@ -59,11 +82,38 @@ class QuenchedSchwingerClusterSampler(Sampler):
         x = self._reconstruct(k2, cs.x)
         return SchwingerClusterState(x=x, psi=cs.x)
 
+    def subsample_observable(self, x):
+        """Slow-mode clock for tau-based coarse subsampling: the average
+        plaquette energy (the smooth modes are the slowest under cluster
+        updates; chi_t is the fastest and underestimates tau)."""
+        return jnp.mean(jnp.cos(self.action.plaquette_angles(x)),
+                        axis=(-2, -1))
+
+    def _psi_from_links(self, key, x):
+        """Rebuild the rotor path from the links' plaquette angles:
+        d[i*Mx+j] = P[j,i] (verified exact round trip), psi = cumsum with
+        a uniform global rotation (the rotor measure is uniform in it)."""
+        lat = self.action.lattice
+        C = x.shape[0]
+        P = self.action.plaquette_angles(x)          # [C, Mx, Mt]
+        d = jnp.swapaxes(P, -1, -2).reshape(C, -1)   # walk order
+        psi = jnp.cumsum(d, axis=-1)
+        psi = jnp.concatenate(
+            [jnp.zeros((C, 1), x.dtype), psi[:, :-1]], axis=-1)
+        c = jax.random.uniform(key, (C, 1), x.dtype, -math.pi, math.pi)
+        return mod_2pi(psi + c)
+
     def draw(self, key, state: SchwingerClusterState):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         cs, _ = self.cluster.draw(k1, ClusterState(x=state.psi))
         psi = cs.x
         x = self._reconstruct(k2, psi)
+        if self.n_mix_sweeps > 0:
+            act = self.action
+            for i in range(self.n_mix_sweeps):
+                x = act.overrelaxation_sweep(x)
+                x = act.heatbath_sweep(jax.random.fold_in(k3, i), x)
+            psi = self._psi_from_links(k4, x)
         accept = jnp.ones(x.shape[:-1], bool)
         return SchwingerClusterState(x=x, psi=psi), accept
 
