@@ -143,11 +143,10 @@ class MonteCarloMultiLevel:
         in-kernel coarse chain is the heat bath; the sampler object is
         only used for initialise/burn-in) and initialise the per-level
         static subsampling rates."""
-        # start at the rate the adaptation usually lands on (2-4 for
-        # every config measured): when the post-burn-in estimate matches,
-        # the second compile round is a no-op (VERDICT r3 item 6 —
-        # compile time was the dominant cold-start cost at scale)
-        self._t_sub = [4] * self.n_level
+        # start at the fused floor (below): when the post-burn-in
+        # estimate matches, the second compile round is a no-op
+        # (VERDICT r3 item 6 — compile time dominated cold starts)
+        self._t_sub = [self.FUSED_T_SUB_MIN] * self.n_level
         self._fused_cache = {}
         if not self.use_pallas:
             return
@@ -313,6 +312,16 @@ class MonteCarloMultiLevel:
 
         return chunk_L
 
+    #: minimum in-kernel coarse sweeps per recorded sample on fused
+    #: levels.  Delayed acceptance is exact only for INDEPENDENT coarse
+    #: proposals; ceil(2 tau_QoI) (the reference's subsample rule)
+    #: under-decorrelates the heat-bath CONFIGURATION at weak coupling
+    #: and measurably biased the screened chain (~-0.4% at 8x8 beta=4:
+    #: seeds at -2.8/-3.7 sigma with t_sub=4 move to -0.1/+0.4 sigma at
+    #: t_sub=8, same keys).  Eight sweeps cost nothing at the bench
+    #: scale (the launch is sweep-bound, not dispatch-bound).
+    FUSED_T_SUB_MIN = 8
+
     def _update_t_sub(self, carries, carry_L):
         """Re-estimate the per-level coarse subsampling rates from the
         coarse-sampler tau_int (montecarlotwolevel.cc:82-94) — the fused
@@ -321,8 +330,10 @@ class MonteCarloMultiLevel:
         def quantised(tau):
             # round ceil(2 tau) UP to a power of two: extra decorrelation
             # is harmless and the fused kernels recompile per distinct
-            # (static) t_sub, so coarse quantisation bounds recompiles
-            t = min(self.t_max, max(1, math.ceil(2.0 * tau)))
+            # (static) t_sub, so coarse quantisation bounds recompiles;
+            # floor at FUSED_T_SUB_MIN (proposal-independence safety)
+            t = min(self.t_max, max(self.FUSED_T_SUB_MIN,
+                                    math.ceil(2.0 * tau)))
             return 1 << (t - 1).bit_length()
 
         def ratchet(cur, new):
