@@ -227,7 +227,6 @@ class MonteCarloMultiLevel:
         min_block = 128 if n_chains >= 128 else max(8, n_chains)
         block = max(min_block,
                     self._pallas_block(n_chains, ndof) // block_shrink)
-        self._last_built_block = block
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
         interpret = self.pallas_interpret
 
@@ -260,7 +259,10 @@ class MonteCarloMultiLevel:
             # cross-check of a window-capped tau (VERDICT r3 item 3)
             return (cstate, tl_new, st_y, st_cs, t_accum), jnp.mean(y, axis=1)
 
-        return chunk
+        # return the block alongside the kernel: the warm-up dispatchers
+        # run concurrently in a thread pool, so a shared last-built-block
+        # attribute would race between levels (ADVICE r4)
+        return chunk, block
 
     def _make_fused_chunk_L(self, t_sub: int, n_chains: int,
                             block_shrink: int = 1):
@@ -280,7 +282,6 @@ class MonteCarloMultiLevel:
         block = max(min_block, self._pallas_block(
             n_chains, lat.nedges + chunk_size * t_sub,
             budget=1536 * 1024) // block_shrink)
-        self._last_built_block = block
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
         interpret = self.pallas_interpret
 
@@ -310,7 +311,7 @@ class MonteCarloMultiLevel:
             return (type(cstate)(x=x), st_y, st_cs, t_accum), \
                 jnp.mean(y, axis=1)
 
-        return chunk_L
+        return chunk_L, block
 
     #: minimum in-kernel coarse sweeps per recorded sample on fused
     #: levels.  Delayed acceptance is exact only for INDEPENDENT coarse
@@ -391,12 +392,12 @@ class MonteCarloMultiLevel:
                     shrink = self._block_shrink.get(k, 1)
                     prev_block = None
                     while True:
-                        fn = self._fused_cache.get(k)
-                        if fn is None:
-                            fn = self._make_fused_chunk(
+                        entry = self._fused_cache.get(k)
+                        if entry is None:
+                            entry = self._make_fused_chunk(
                                 ell, self._t_sub[ell], self.n_chains,
                                 block_shrink=shrink)
-                            blk = self._last_built_block
+                            blk = entry[1]
                             if prev_block is not None and blk >= prev_block:
                                 # the block is pinned at the lane-width
                                 # floor: further shrinks rebuild the SAME
@@ -404,7 +405,8 @@ class MonteCarloMultiLevel:
                                 # burning identical Mosaic compiles
                                 raise last_err
                             prev_block = blk
-                            self._fused_cache[k] = fn
+                            self._fused_cache[k] = entry
+                        fn = entry[0]
                         try:
                             return fn(key, carry, n_active)
                         except Exception as e:
@@ -456,16 +458,17 @@ class MonteCarloMultiLevel:
                 shrink = self._block_shrink.get(k, 1)
                 prev_block = None
                 while True:
-                    fn = self._fused_cache.get(k)
-                    if fn is None:
-                        fn = self._make_fused_chunk_L(
+                    entry = self._fused_cache.get(k)
+                    if entry is None:
+                        entry = self._make_fused_chunk_L(
                             self._t_sub[-1], self.n_chains,
                             block_shrink=shrink)
-                        blk = self._last_built_block
+                        blk = entry[1]
                         if prev_block is not None and blk >= prev_block:
                             raise last_err
                         prev_block = blk
-                        self._fused_cache[k] = fn
+                        self._fused_cache[k] = entry
+                    fn = entry[0]
                     try:
                         return fn(key, carry, n_active)
                     except Exception as e:
@@ -590,7 +593,7 @@ class MonteCarloMultiLevel:
         self.chunk_log = []   # (ell, dispatch_s, block_s) per run_level call
         #: per-level per-step cross-chain Y means recorded since the last
         #: reset — the series behind the binning reliability cross-check
-        self._ybar_history = [[] for _ in range(L)]
+        self._reset_ybar(L)
 
         def run_level(ell, carry, n_more, key_run):
             """Record n_more further samples on level ell.  n_more=0
@@ -675,7 +678,7 @@ class MonteCarloMultiLevel:
                    for (cs, tl, st_y, st_cs, ta) in carries]
         carry_L = (carry_L[0], stats_mod.soft_reset(carry_L[1]),
                    carry_L[2], carry_L[3])
-        self._ybar_history = [[] for _ in range(L)]
+        self._reset_ybar(L)
         if verbose:
             print("Burnin completed")
         jax.block_until_ready(carry_L)
@@ -783,15 +786,37 @@ class MonteCarloMultiLevel:
 
     # -------------------------------------------------------------------------
 
+    def _reset_ybar(self, L: int):
+        import numpy as np
+        self._ybar_history = [[] for _ in range(L)]
+        #: per-level (concatenated float64 host series, #chunks consumed)
+        self._ybar_cache = [(np.empty(0), 0) for _ in range(L)]
+
     def _tau_binning_level(self, ell) -> float:
         """Binning tau estimate for level ell's recorded Y series (the
-        per-step cross-chain means collected by run_level)."""
+        per-step cross-chain means collected by run_level).
+
+        The host-side series is cached incrementally: only chunks
+        appended since the last call are transferred and concatenated,
+        and their device buffers are released — the adaptive loop calls
+        this every round for every window-capped level, so re-pulling
+        the full history each time was O(rounds x samples) tunnel
+        traffic (ADVICE r4)."""
         import numpy as np
         hist = self._ybar_history[ell]
-        if not hist:
+        cache, used = self._ybar_cache[ell]
+        if len(hist) > used:
+            new = [np.asarray(h, np.float64) for h in hist[used:]]
+            parts = ([cache] if cache.size else []) + new
+            cache = np.concatenate(parts)
+            # release the consumed device buffers (keep list length so
+            # `used` stays a valid index)
+            for i in range(used, len(hist)):
+                hist[i] = None
+            self._ybar_cache[ell] = (cache, len(hist))
+        if cache.size == 0:
             return 1.0
-        return stats_mod.tau_binning(np.concatenate(
-            [np.asarray(h, np.float64) for h in hist]))
+        return stats_mod.tau_binning(cache)
 
     def _assess_reliability(self, stats):
         """Per-level reliability report (VERDICT r3 item 3): surface
@@ -831,9 +856,14 @@ class MonteCarloMultiLevel:
         """Statistical error with each level's tau replaced by
         max(windowed, binning) — an upper-bound error bar that stays
         honest when the autocorrelation window saturates."""
-        stats = stats if stats is not None else self._final_stats
-        rel = getattr(self, "reliability", None) or \
-            self._assess_reliability(stats)
+        explicit = stats is not None
+        stats = stats if explicit else self._final_stats
+        # the cached reliability was computed for _final_stats; an
+        # explicit stats argument needs its own assessment or tau_eff
+        # would come from mismatched statistics (ADVICE r4)
+        rel = (self._assess_reliability(stats) if explicit
+               else getattr(self, "reliability", None)
+               or self._assess_reliability(stats))
         tot = 0.0
         for ell in range(self.n_level):
             n = self.stats_qoi[ell].samples(stats[ell])

@@ -164,11 +164,13 @@ class MonteCarloSingleLevel:
         # accepted count accumulates on device; ``done`` is tracked
         # host-side (each chunk records exactly n masked samples, so the
         # counter equals stats.n by construction — no per-chunk pull)
-        # float accumulator: int32 wraps past 2^31 accepted moves on long
-        # runs (ADVICE r3); per-chunk counts stay exact in int32 and the
-        # running float sum only needs diagnostic accuracy
-        n_accepted = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64
-                               else jnp.float32)
+        # Kahan-compensated float accumulator: a plain float32 sum loses
+        # whole per-chunk counts past ~2^24 (ADVICE r4); per-chunk counts
+        # stay exact in int32 (chunk*chains < 2^31), and the compensation
+        # keeps the running sum exact to ~2^48 accepted moves
+        acc_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        n_accepted = jnp.zeros((), acc_dtype)
+        n_acc_comp = jnp.zeros((), acc_dtype)
         n_drawn = 0
         done = 0
         while True:
@@ -179,7 +181,10 @@ class MonteCarloSingleLevel:
             n = min(self.chunk_size, local_target - done)
             k_loop, sub = jax.random.split(k_loop)
             sstate, stats, n_acc = self._chunk(sub, sstate, stats, n)
-            n_accepted = n_accepted + n_acc.astype(n_accepted.dtype)
+            y = n_acc.astype(acc_dtype) - n_acc_comp
+            t = n_accepted + y
+            n_acc_comp = (t - n_accepted) - y
+            n_accepted = t
             done += n
             n_drawn += self.chunk_size * n_chains
         self.p_accept = float(n_accepted) / max(n_drawn, 1)

@@ -75,11 +75,10 @@ def test_vmem_oom_retry_shrinks_once():
             # pretend the first build used the full block; the real
             # rebuild below then reports a smaller one, so the
             # pinned-at-floor fail-fast does not trigger
-            mc._last_built_block = 1 << 30
 
             def boom(key, carry, n_active):
                 raise oom
-            return boom
+            return boom, 1 << 30
         return real_make(ell, t_sub, n_chains, block_shrink=block_shrink)
 
     mc._make_fused_chunk = flaky_make
@@ -100,11 +99,9 @@ def test_vmem_oom_retry_shrinks_once():
         use_pallas=True, pallas_interpret=True)
 
     def bad_make(ell, t_sub, n_chains, block_shrink=1):
-        mc2._last_built_block = 128
-
         def boom(key, carry, n_active):
             raise XlaRuntimeError("INTERNAL: Mosaic miscompile")
-        return boom
+        return boom, 128
 
     mc2._make_fused_chunk = bad_make
     mc2._fused_cache.clear()
@@ -130,11 +127,10 @@ def test_vmem_oom_retry_shrinks_once():
 
     def pinned_make(ell, t_sub, n_chains, block_shrink=1):
         calls3.append(block_shrink)
-        mc3._last_built_block = 128     # floor, never shrinks
 
         def boom(key, carry, n_active):
             raise oom
-        return boom
+        return boom, 128    # floor, never shrinks
 
     mc3._make_fused_chunk = pinned_make
     mc3._fused_cache.clear()
