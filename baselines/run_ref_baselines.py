@@ -39,6 +39,7 @@ RUNS = [
     ("schwinger_heatbath", "driver_qft", "ref_qft_schwinger_heatbath.in",
      {}),
     ("schwinger_mlmc", "driver_qft", "ref_qft_schwinger_mlmc.in", {}),
+    ("sigma_heatbath", "driver_qft", "ref_qft_sigma_heatbath.in", {}),
 ]
 
 FLOAT = r"([-+0-9.eE]+)"

@@ -22,6 +22,17 @@ import abc
 
 class ConditionedFineAction(abc.ABC):
 
+    #: True when prolongate + fill_fine_points overwrite EVERY dof with
+    #: values determined only by the coarse dofs and fresh noise (never
+    #: reading a fine dof of the template state).  All current fill-ins
+    #: satisfy this (they draw the conditionally-independent fine sites
+    #: in one vectorised pass); it licenses the batched delayed-
+    #: acceptance screen (mc/twolevel.py::make_batched_screen), which
+    #: generates a whole chunk of proposals as one tensor program.  A
+    #: future sequential/Gibbs fill that reads previously-filled fine
+    #: dofs of the CURRENT state must set this False.
+    independent_fill = True
+
     def __init__(self, action):
         #: fine-level action this conditions on
         self.action = action

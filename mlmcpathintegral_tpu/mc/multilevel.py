@@ -431,23 +431,65 @@ class MonteCarloMultiLevel:
             step = self.twolevel_steps[ell]
             qoi_f, qoi_c = self.qois[ell], self.qois[ell + 1]
 
-            def chunk(key, carry, n_active, *, draw_coarse=draw_coarse,
-                      step=step, qoi_f=qoi_f, qoi_c=qoi_c):
-                def body(carry, inp):
+            if getattr(step.conditioned_fine_action, "independent_fill",
+                       False):
+                # batched screen for unfused levels: coarse chain scan
+                # first, then one tensor program of proposals + a scalar
+                # accept scan (mc/twolevel.py::make_batched_screen)
+                from mlmcpathintegral_tpu.mc.twolevel import (
+                    make_batched_screen,
+                )
+                screen = make_batched_screen(
+                    self.actions[ell], self.actions[ell + 1],
+                    step.conditioned_fine_action, qoi_f, qoi_c)
+
+                def chunk(key, carry, n_active, *,
+                          draw_coarse=draw_coarse, screen=screen):
                     cstate, tl, st_y, st_cs, t_accum = carry
-                    k, i = inp
-                    k1, k2 = jax.random.split(k)
-                    cstate, st_cs, t_accum = draw_coarse(k1, cstate, st_cs,
-                                                         t_accum)
-                    xc = draw_coarse.sampler.x_of(cstate)
-                    tl, _ = step.draw(k2, tl, xc)
-                    y = qoi_f(tl.theta) - qoi_c(xc)
-                    st_y = stats_mod.record_masked(st_y, y, i < n_active)
-                    return (cstate, tl, st_y, st_cs, t_accum), jnp.mean(y)
-                keys = jax.random.split(key, self.chunk_size)
-                idx = jnp.arange(self.chunk_size)
-                carry, ybar = jax.lax.scan(body, carry, (keys, idx))
-                return carry, ybar
+                    k_c, k_s = jax.random.split(key)
+
+                    def body_c(carry, k):
+                        cstate, st_cs, t_accum = carry
+                        cstate, st_cs, t_accum = draw_coarse(
+                            k, cstate, st_cs, t_accum)
+                        return (cstate, st_cs, t_accum), \
+                            draw_coarse.sampler.x_of(cstate)
+
+                    (cstate, st_cs, t_accum), xcs = jax.lax.scan(
+                        body_c, (cstate, st_cs, t_accum),
+                        jax.random.split(k_c, self.chunk_size))
+                    tl, qf, qc, _ = screen(k_s, tl, xcs)
+                    y = qf - qc
+                    idx = jnp.arange(self.chunk_size)
+
+                    def rec(st, inp):
+                        yv, i = inp
+                        return stats_mod.record_masked(st, yv,
+                                                       i < n_active), None
+
+                    st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
+                    return (cstate, tl, st_y, st_cs, t_accum), \
+                        jnp.mean(y, axis=1)
+            else:
+                def chunk(key, carry, n_active, *, draw_coarse=draw_coarse,
+                          step=step, qoi_f=qoi_f, qoi_c=qoi_c):
+                    def body(carry, inp):
+                        cstate, tl, st_y, st_cs, t_accum = carry
+                        k, i = inp
+                        k1, k2 = jax.random.split(k)
+                        cstate, st_cs, t_accum = draw_coarse(k1, cstate,
+                                                             st_cs, t_accum)
+                        xc = draw_coarse.sampler.x_of(cstate)
+                        tl, _ = step.draw(k2, tl, xc)
+                        y = qoi_f(tl.theta) - qoi_c(xc)
+                        st_y = stats_mod.record_masked(st_y, y,
+                                                       i < n_active)
+                        return (cstate, tl, st_y, st_cs, t_accum), \
+                            jnp.mean(y)
+                    keys = jax.random.split(key, self.chunk_size)
+                    idx = jnp.arange(self.chunk_size)
+                    carry, ybar = jax.lax.scan(body, carry, (keys, idx))
+                    return carry, ybar
 
             self._chunk.append(jax.jit(chunk, donate_argnums=(1,)))
 

@@ -70,6 +70,92 @@ def make_coarse_subsampler(coarse_sampler, qoi_coarse, t_max: int = 100):
     return draw_coarse_sample
 
 
+def make_batched_screen(fine_action, coarse_action, cond, qoi_fine,
+                        qoi_coarse, *, slice_budget_bytes: int = 2 ** 28):
+    """Batched delayed-acceptance screen (TPU-first redesign of the
+    sequential per-step TwoLevelMetropolisStep loop).
+
+    Because every fill-in is conditionally independent of the CURRENT
+    fine state (ConditionedFineAction.independent_fill — prolongate +
+    fill overwrite all dofs from coarse data + fresh noise), an entire
+    chunk of proposals can be generated as ONE batched tensor program:
+    prolongate, fill, both action evaluations and both QoIs run over a
+    [S, C, ndof] proposal tensor (large fused VPU/MXU ops) instead of S
+    sequential scan steps of small [C, ndof] ops.  Only the Metropolis
+    accept/reject chain remains sequential — a scan over [C] scalars.
+
+    The accept ratio (twolevelmetropolisstep.cc:35-89) needs
+    S_c(restrict(theta_cur)); after any acceptance restrict(theta_cur)
+    IS that proposal's coarse sample, so the carried scalar is updated
+    from the batched S_c values and only the incoming state's value is
+    computed explicitly.
+
+    Returns screen(key, tl, xcs) -> (tl_new, qf_trace, qc_trace,
+    accept_trace) with traces of shape [S, C].  Proposals are processed
+    in static slices so the [S, C, ndof] tensor never exceeds
+    ``slice_budget_bytes`` of HBM.
+    """
+
+    def screen_slice(key, tl, s_cc0, qf0, xcs):
+        S = xcs.shape[0]
+        k_fill, k_acc = jax.random.split(key)
+        theta_prop = fine_action.prolongate(
+            xcs, jnp.broadcast_to(tl.theta, (S,) + tl.theta.shape))
+        theta_prop = cond.fill_fine_points(k_fill, theta_prop)
+        S_f = fine_action.evaluate(theta_prop)        # [S, C]
+        S_q = cond.evaluate(theta_prop)               # [S, C]
+        S_cc = coarse_action.evaluate(xcs)            # [S, C]
+        qf = qoi_fine(theta_prop)                     # [S, C]
+        u = jax.random.uniform(k_acc, S_f.shape, S_f.dtype)
+
+        def body(carry, inp):
+            s_f, s_q, s_cc, q_cur, idx_cur = carry
+            Sf_t, Sq_t, Scc_t, qf_t, u_t, t = inp
+            dS = (Sf_t - s_f) + (s_cc - Scc_t) + (s_q - Sq_t)
+            acc = jnp.logical_or(dS < 0.0, u_t < jnp.exp(-dS))
+            s_f = jnp.where(acc, Sf_t, s_f)
+            s_q = jnp.where(acc, Sq_t, s_q)
+            s_cc = jnp.where(acc, Scc_t, s_cc)
+            q_cur = jnp.where(acc, qf_t, q_cur)
+            idx_cur = jnp.where(acc, t, idx_cur)
+            return (s_f, s_q, s_cc, q_cur, idx_cur), (q_cur, acc)
+
+        init = (tl.S_fine, tl.S_cond, s_cc0, qf0,
+                jnp.full(s_cc0.shape, -1, jnp.int32))
+        (s_f, s_q, s_cc, q_cur, idx), (qf_cur, acc) = jax.lax.scan(
+            body, init,
+            (S_f, S_q, S_cc, qf, u, jnp.arange(S, dtype=jnp.int32)))
+        # materialise the final fine state: the last accepted proposal,
+        # else the incoming state (one gather, instead of carrying the
+        # [C, ndof] field through the scan)
+        any_acc = idx >= 0
+        theta_fin = jnp.take_along_axis(
+            theta_prop, jnp.maximum(idx, 0)[None, :, None], axis=0)[0]
+        theta_fin = jnp.where(any_acc[:, None], theta_fin, tl.theta)
+        tl_new = type(tl)(theta=theta_fin, S_fine=s_f, S_cond=s_q)
+        return tl_new, s_cc, q_cur, qf_cur, acc
+
+    def screen(key, tl, xcs):
+        S, C = xcs.shape[0], xcs.shape[1]
+        ndof = tl.theta.shape[-1]
+        s_slice = max(1, min(S, slice_budget_bytes
+                             // max(C * ndof * 4, 1)))
+        s_cc0 = coarse_action.evaluate(fine_action.restrict(tl.theta))
+        qf0 = qoi_fine(tl.theta)
+        qf_parts, acc_parts = [], []
+        for lo in range(0, S, s_slice):
+            sub = jax.random.fold_in(key, lo)
+            tl, s_cc0, qf0, qf_c, acc = screen_slice(
+                sub, tl, s_cc0, qf0, xcs[lo:lo + s_slice])
+            qf_parts.append(qf_c)
+            acc_parts.append(acc)
+        qc = qoi_coarse(xcs)                          # [S, C]
+        return (tl, jnp.concatenate(qf_parts), qc,
+                jnp.concatenate(acc_parts))
+
+    return screen
+
+
 class MonteCarloTwoLevel:
 
     def __init__(self, fine_action, qoi_factory, coarse_sampler_factory,
@@ -100,33 +186,78 @@ class MonteCarloTwoLevel:
         draw_coarse = make_coarse_subsampler(self.coarse_sampler,
                                              self.qoi_coarse)
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def _chunk(key, carry, n_active):
-            (cstate, tl, st_f, st_c, st_d, st_cs, t_accum) = carry
+        if getattr(self.conditioned_fine_action, "independent_fill", False):
+            # batched screen: coarse chain first (sequential, sampler-
+            # specific), then ALL proposals/fills/actions/QoIs as one
+            # tensor program + a scalar accept scan (make_batched_screen)
+            screen = make_batched_screen(
+                fine_action, self.coarse_action,
+                self.conditioned_fine_action, self.qoi_fine,
+                self.qoi_coarse)
 
-            def body(carry, inp):
-                cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
-                k, i = inp
-                k1, k2 = jax.random.split(k)
-                cstate, st_cs, t_accum = draw_coarse(k1, cstate, st_cs,
-                                                     t_accum)
-                xc = self.coarse_sampler.x_of(cstate)
-                tl, accept = self.twolevel_step.draw(k2, tl, xc)
-                qf = self.qoi_fine(tl.theta)
-                qc = self.qoi_coarse(xc)
-                en = i < n_active
-                st_f = stats_mod.record_masked(st_f, qf, en)
-                st_c = stats_mod.record_masked(st_c, qc, en)
-                st_d = stats_mod.record_masked(st_d, qf - qc, en)
-                n_acc = jnp.where(en, jnp.sum(accept, dtype=jnp.int32), 0)
-                return (cstate, tl, st_f, st_c, st_d, st_cs, t_accum), n_acc
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def _chunk(key, carry, n_active):
+                (cstate, tl, st_f, st_c, st_d, st_cs, t_accum) = carry
+                k_coarse, k_screen = jax.random.split(key)
 
-            keys = jax.random.split(key, self.chunk_size)
-            idx = jnp.arange(self.chunk_size)
-            carry, acc = jax.lax.scan(
-                body, (cstate, tl, st_f, st_c, st_d, st_cs, t_accum),
-                (keys, idx))
-            return carry, jnp.sum(acc)
+                def body_c(carry, k):
+                    cstate, st_cs, t_accum = carry
+                    cstate, st_cs, t_accum = draw_coarse(k, cstate, st_cs,
+                                                         t_accum)
+                    return (cstate, st_cs, t_accum), \
+                        self.coarse_sampler.x_of(cstate)
+
+                keys = jax.random.split(k_coarse, self.chunk_size)
+                (cstate, st_cs, t_accum), xcs = jax.lax.scan(
+                    body_c, (cstate, st_cs, t_accum), keys)
+                tl, qf, qc, acc = screen(k_screen, tl, xcs)
+                idx = jnp.arange(self.chunk_size)
+
+                def body_rec(carry, inp):
+                    st_f, st_c, st_d = carry
+                    qf_t, qc_t, i = inp
+                    en = i < n_active
+                    st_f = stats_mod.record_masked(st_f, qf_t, en)
+                    st_c = stats_mod.record_masked(st_c, qc_t, en)
+                    st_d = stats_mod.record_masked(st_d, qf_t - qc_t, en)
+                    return (st_f, st_c, st_d), None
+
+                (st_f, st_c, st_d), _ = jax.lax.scan(
+                    body_rec, (st_f, st_c, st_d), (qf, qc, idx))
+                n_acc = jnp.sum(jnp.where((idx < n_active)[:, None],
+                                          acc, False), dtype=jnp.int32)
+                return (cstate, tl, st_f, st_c, st_d, st_cs, t_accum), \
+                    n_acc
+        else:
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def _chunk(key, carry, n_active):
+                (cstate, tl, st_f, st_c, st_d, st_cs, t_accum) = carry
+
+                def body(carry, inp):
+                    cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
+                    k, i = inp
+                    k1, k2 = jax.random.split(k)
+                    cstate, st_cs, t_accum = draw_coarse(k1, cstate, st_cs,
+                                                         t_accum)
+                    xc = self.coarse_sampler.x_of(cstate)
+                    tl, accept = self.twolevel_step.draw(k2, tl, xc)
+                    qf = self.qoi_fine(tl.theta)
+                    qc = self.qoi_coarse(xc)
+                    en = i < n_active
+                    st_f = stats_mod.record_masked(st_f, qf, en)
+                    st_c = stats_mod.record_masked(st_c, qc, en)
+                    st_d = stats_mod.record_masked(st_d, qf - qc, en)
+                    n_acc = jnp.where(en, jnp.sum(accept, dtype=jnp.int32),
+                                      0)
+                    return (cstate, tl, st_f, st_c, st_d, st_cs,
+                            t_accum), n_acc
+
+                keys = jax.random.split(key, self.chunk_size)
+                idx = jnp.arange(self.chunk_size)
+                carry, acc = jax.lax.scan(
+                    body, (cstate, tl, st_f, st_c, st_d, st_cs, t_accum),
+                    (keys, idx))
+                return carry, jnp.sum(acc)
 
         self._chunk = _chunk
 

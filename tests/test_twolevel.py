@@ -123,3 +123,44 @@ def test_montecarlo_twolevel_rotor_cluster_coarse():
     assert abs(fine_avg - oracle_f) < 4 * fine_err, \
         (fine_avg, oracle_f, fine_err)
     assert mc.p_accept > 0.5
+
+
+def test_batched_screen_matches_sequential():
+    """The batched delayed-acceptance screen (make_batched_screen) must
+    target the same fine distribution as the sequential per-step path:
+    run both chunk implementations on the harmonic oscillator with the
+    exact coarse sampler and compare <X^2> against the analytic oracle
+    and each other."""
+    import math
+
+    lat = Lattice1D(32, 4.0)
+    act = HarmonicOscillatorAction(lat, RenormalisationType.NONPERTURBATIVE,
+                                   m0=1.0, mu2=1.0)
+    oracle = act.Xsquared_analytical()
+
+    def run(force_sequential, seed):
+        cond_factory = GaussianConditionedFineAction
+        if force_sequential:
+            class _Seq(GaussianConditionedFineAction):
+                independent_fill = False
+            cond_factory = _Seq
+        mc = MonteCarloTwoLevel(
+            act, qoi_x_squared,
+            coarse_sampler_factory=ExactSampler,
+            conditioned_fine_action_factory=cond_factory,
+            n_burnin=200, n_samples=20000, chunk_size=50)
+        assert (mc._chunk is not None)
+        stats = mc.evaluate_difference(jax.random.PRNGKey(seed),
+                                       n_chains=64, dtype=jnp.float64)
+        avg = mc.stats_fine.average(stats["fine"])
+        err = mc.stats_fine.error(stats["fine"])
+        return avg, err, mc.p_accept
+
+    a_b, e_b, p_b = run(False, 101)
+    a_s, e_s, p_s = run(True, 102)
+    assert abs(a_b - oracle) < 4 * e_b, (a_b, e_b, oracle)
+    assert abs(a_s - oracle) < 4 * e_s, (a_s, e_s, oracle)
+    assert abs(a_b - a_s) < 4 * math.hypot(e_b, e_s)
+    # the two paths realise the same Markov kernel, so acceptance rates
+    # must match closely as well
+    assert abs(p_b - p_s) < 0.03, (p_b, p_s)
