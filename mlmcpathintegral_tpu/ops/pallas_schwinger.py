@@ -166,13 +166,17 @@ def _sweep_kernel(seed_ref, theta_ref, out_ref, *, beta, Mt,
     out_ref[1] = X
 
 
-def _chain_kernel(seed_ref, theta_ref, out_ref, qsum_ref, *, beta, Mt,
-                  n_overrelax, n_heatbath, k_rej, block_chains, n_steps):
+def _chain_kernel(seed_ref, theta_ref, out_ref, qsum_ref, *maybe_esum,
+                  beta, Mt, n_overrelax, n_heatbath, k_rej, block_chains,
+                  n_steps):
     """n_steps consecutive draws with the link field resident in VMEM;
     per step only the topological sum Q = sum_P mod_2pi(theta_P) (the
     susceptibility QoI's reduction, qoi2dsusceptibility.cc:6-28) leaves
     the core — one HBM round trip of theta per n_steps draws instead of
-    per draw."""
+    per draw.  With the optional esum output, the per-sweep plaquette
+    energy sum_P cos(theta_P) is emitted too — the chain's SLOW mode,
+    used by the MLMC t_sub clock (VERDICT r4 item 5)."""
+    esum_ref = maybe_esum[0] if maybe_esum else None
     dtype = theta_ref.dtype
     site, chain = element_ids(theta_ref.shape[1:], block_chains,
                               pl.program_id(0))
@@ -187,6 +191,9 @@ def _chain_kernel(seed_ref, theta_ref, out_ref, qsum_ref, *, beta, Mt,
                          k_rej=k_rej, dtype=dtype)
         plaq = _mod_2pi(T + _sh(X, 1, 0, Mt) - _sh(T, 0, 1, Mt) - X)
         qsum_ref[pl.ds(s, 1)] = jnp.sum(plaq, axis=(0, 1))[None]
+        if esum_ref is not None:
+            esum_ref[pl.ds(s, 1)] = jnp.sum(jnp.cos(plaq),
+                                            axis=(0, 1))[None]
         return T, X
 
     T, X = jax.lax.fori_loop(0, n_steps, body,
@@ -253,10 +260,11 @@ def schwinger_sweep(theta, seed, *, beta, Mt, Mx, n_overrelax=1,
 
 @functools.partial(jax.jit, static_argnames=(
     "beta", "Mt", "Mx", "n_steps", "n_overrelax", "n_heatbath", "k_rej",
-    "block_chains", "interpret"))
+    "block_chains", "with_energy", "interpret"))
 def schwinger_sweep_chain(theta, seed, *, beta, Mt, Mx, n_steps,
                           n_overrelax=1, n_heatbath=1, k_rej=6,
-                          block_chains=128, interpret=False):
+                          block_chains=128, with_energy=False,
+                          interpret=False):
     """``n_steps`` consecutive fused draws in ONE kernel launch.
 
     The link field stays in VMEM across all steps; per step only the
@@ -264,6 +272,10 @@ def schwinger_sweep_chain(theta, seed, *, beta, Mt, Mx, n_steps,
     so HBM traffic per draw drops from 2 field round trips to ~C floats.
     Returns (theta', qsum) with qsum of shape [n_steps, C] — the
     susceptibility QoI is qsum^2/(4 pi^2) (qoi.qoi_2d_susceptibility).
+    With ``with_energy`` additionally returns esum [n_steps, C], the
+    per-sweep plaquette energy sum_P cos(theta_P) — the configuration's
+    slow mode, which the MLMC subsample clock measures so t_sub cannot
+    silently under-decorrelate a mode the QoI misses (VERDICT r4 item 5).
 
     Bit-compatible decomposition: equals n_steps schwinger_sweep calls
     with the same seed pair and step_offset = 0..n_steps-1.
@@ -275,7 +287,10 @@ def schwinger_sweep_chain(theta, seed, *, beta, Mt, Mx, n_steps,
         n_overrelax=int(n_overrelax), n_heatbath=int(n_heatbath),
         k_rej=int(k_rej), block_chains=int(block_chains),
         n_steps=int(n_steps))
-    out, qsum = pl.pallas_call(
+    trace_spec = pl.BlockSpec((n_steps, block_chains), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    trace_shape = jax.ShapeDtypeStruct((n_steps, C), theta.dtype)
+    outs = pl.pallas_call(
         kernel,
         # see pallas_schwinger_twolevel: lift the 16 MB scoped-VMEM cap
         compiler_params=pltpu.CompilerParams(
@@ -289,13 +304,15 @@ def schwinger_sweep_chain(theta, seed, *, beta, Mt, Mx, n_steps,
         out_specs=[
             pl.BlockSpec((2, Mx, Mt, block_chains),
                          lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, block_chains), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+            trace_spec,
+        ] + ([trace_spec] if with_energy else []),
         out_shape=[
             jax.ShapeDtypeStruct((2, Mx, Mt, C), theta.dtype),
-            jax.ShapeDtypeStruct((n_steps, C), theta.dtype),
-        ],
+            trace_shape,
+        ] + ([trace_shape] if with_energy else []),
         interpret=interpret,
     )(_seed_pair(seed), g)
-    return out.transpose(3, 1, 2, 0).reshape(C, Mx * Mt * 2), qsum
+    theta_out = outs[0].transpose(3, 1, 2, 0).reshape(C, Mx * Mt * 2)
+    if with_energy:
+        return theta_out, outs[1], outs[2]
+    return theta_out, outs[1]

@@ -437,7 +437,7 @@ def s_cond_approx(f, beta, sh):
 
 def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
                      fine_out, coarse_out, scache_out,
-                     y_ref, qc_ref, acc_ref, *,
+                     y_ref, qc_ref, ec_ref, acc_ref, *,
                      beta, beta_c, Mtc, n_steps, t_sub,
                      n_overrelax_c, n_heatbath_c, k_rej, k_rej_bessel,
                      alphas, log_i0_2beta, sigma_beta, block_chains,
@@ -471,7 +471,14 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
                                n_overrelax=n_overrelax_c,
                                n_heatbath=n_heatbath_c,
                                k_rej=k_rej, dtype=dtype)
-            qc_ref[pl.ds(s * t_sub + t, 1)] = q_coarse(Tc, Xc, sh)[None]
+            # per-sweep traces: topological sum (QoI clock) AND plaquette
+            # energy (the configuration's SLOW mode — the t_sub clock
+            # takes max over both, VERDICT r4 item 5)
+            P = coarse_plaquettes(Tc, Xc, sh)
+            qc_ref[pl.ds(s * t_sub + t, 1)] = \
+                jnp.sum(_mod_2pi(P), axis=(0, 1))[None]
+            ec_ref[pl.ds(s * t_sub + t, 1)] = \
+                jnp.sum(jnp.cos(P), axis=(0, 1))[None]
             return (Tc, Xc)
 
         Tc, Xc = jax.lax.fori_loop(0, t_sub, sweep_body, (Tc, Xc))
@@ -536,9 +543,12 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
     coarse links; s_fine_cache/s_cond_cache: [C] cached action values of
     theta_fine (twolevelmetropolisstep.hh:104-108).  Returns
     (theta_fine', theta_coarse', s_fine', s_cond', Y[n_steps, C],
-    qc[n_steps*t_sub, C], accept[n_steps, C]) where Y is the per-draw
-    telescoping sample V chi_t(fine) - V chi_t(coarse) and qc the coarse
-    topological-sum trace (for the coarse-sampler tau_int statistics).
+    qc[n_steps*t_sub, C], ec[n_steps*t_sub, C], accept[n_steps, C])
+    where Y is the per-draw telescoping sample
+    V chi_t(fine) - V chi_t(coarse), qc the coarse topological-sum trace
+    (for the coarse-sampler tau_int statistics) and ec the coarse
+    per-sweep plaquette-energy trace sum_P cos(theta_P) — the
+    configuration slow mode driving the t_sub clock (VERDICT r4 item 5).
 
     Requires both-direction coarsening.  beta <= 8 runs the exact
     BesselProduct fill branch (besselproductdistribution.hh:38-44);
@@ -587,7 +597,7 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
     scache_spec = pl.BlockSpec((2, blk), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
     dt = theta_fine.dtype
-    fine_o, coarse_o, scache_o, y, qc, acc = pl.pallas_call(
+    fine_o, coarse_o, scache_o, y, qc, ec, acc = pl.pallas_call(
         kernel,
         # raise the scoped-VMEM cap from the 16 MB default: on v5e
         # (128 MB VMEM) XLA additionally promotes the full output
@@ -603,12 +613,15 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((n_steps * t_sub, blk), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
+                   pl.BlockSpec((n_steps * t_sub, blk), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
                    pl.BlockSpec((n_steps, blk), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((8, Mxc, Mtc, C), dt),
                    jax.ShapeDtypeStruct((2, Mxc, Mtc, C), dt),
                    jax.ShapeDtypeStruct((2, C), dt),
                    jax.ShapeDtypeStruct((n_steps, C), dt),
+                   jax.ShapeDtypeStruct((n_steps * t_sub, C), dt),
                    jax.ShapeDtypeStruct((n_steps * t_sub, C), dt),
                    jax.ShapeDtypeStruct((n_steps, C), dt)],
         interpret=interpret,
@@ -618,4 +631,4 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
     theta_coarse_out = coarse_o.transpose(3, 1, 2, 0).reshape(
         C, 2 * Mtc * Mxc)
     return (theta_fine_out, theta_coarse_out, scache_o[0], scache_o[1],
-            y, qc, acc)
+            y, qc, ec, acc)

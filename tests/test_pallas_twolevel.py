@@ -247,7 +247,7 @@ def test_fused_chain_matches_oracles(BETA):
     theta_f, theta_c, s_f, s_q, *_ = chunk(theta_f, theta_c, s_f, s_q,
                                            (11, 13), 50)
     ys, accs = [], []
-    theta_f, theta_c, s_f, s_q, y, qc, acc = chunk(
+    theta_f, theta_c, s_f, s_q, y, qc, ec, acc = chunk(
         theta_f, theta_c, s_f, s_q, (17, 19), 200)
     ys.append(np.asarray(y))
     accs.append(np.asarray(acc))
