@@ -70,6 +70,8 @@ except Exception:
 
 import jax.numpy as jnp
 
+from mlmcpathintegral_tpu.utils.timer import sync as _sync
+
 REPO = Path(__file__).resolve().parent
 
 
@@ -205,7 +207,7 @@ def bench_harmonic():
     stats_state = stats.init(C, dtype)
     k_run, sub = jax.random.split(k_run)
     sstate, stats_state, _ = chunk(sub, sstate, stats_state)   # warm-up
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     stats_state = stats_mod.soft_reset(stats_state)
 
     n_chunks = 8
@@ -213,7 +215,7 @@ def bench_harmonic():
     for _ in range(n_chunks):
         k_run, sub = jax.random.split(k_run)
         sstate, stats_state, _ = chunk(sub, sstate, stats_state)
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     wall = time.monotonic() - t0
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
@@ -286,7 +288,7 @@ def bench_schwinger_pallas():
     stats_state = stats.init(C, dtype)
     k_run, sub = jax.random.split(k_run)
     sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     stats_state = stats_mod.soft_reset(stats_state)
 
     n_chunks = 8
@@ -294,7 +296,7 @@ def bench_schwinger_pallas():
     for _ in range(n_chunks):
         k_run, sub = jax.random.split(k_run)
         sstate, stats_state = chunk(sub, sstate, stats_state)
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     wall = time.monotonic() - t0
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
@@ -365,7 +367,7 @@ def bench_schwinger(use_pallas: bool = False):
     stats_state = stats.init(C, dtype)
     k_run, sub = jax.random.split(k_run)
     sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     stats_state = stats_mod.soft_reset(stats_state)
 
     n_chunks = 8
@@ -373,7 +375,7 @@ def bench_schwinger(use_pallas: bool = False):
     for _ in range(n_chunks):
         k_run, sub = jax.random.split(k_run)
         sstate, stats_state = chunk(sub, sstate, stats_state)
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     wall = time.monotonic() - t0
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
@@ -673,7 +675,8 @@ def bench_quartic_twolevel(seed: int = 14):
 
 
 def bench_rotor_cluster_M(M: int, n_chains: int = 4096,
-                          n_updates: int = 10, seed: int = 3):
+                          n_updates: int = 10, seed: int = 3,
+                          use_pallas: bool = False):
     """Topological rotor chi_t with the vectorised Wolff cluster sampler
     (the reference's algorithm for this model — flat tau_int in a,
     clustersampler.cc:92-132; r2 shipped a heat-bath chain with tau=34.7
@@ -693,7 +696,7 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096,
     lat = Lattice1D(M_lat=M, T_final=4.0)
     action = RotorAction(lat, m0=0.25)
     sampler = ClusterSampler(action, n_burnin=100, n_updates=n_updates,
-                             vectorised=True)
+                             vectorised=True, use_pallas=use_pallas)
     qoi = qoi_susceptibility(action)
     stats = Statistics("chit", 40)
     key = jax.random.PRNGKey(seed)
@@ -702,20 +705,35 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096,
 
     sstate = jax.jit(lambda k: sampler.prepare(k, C, dtype))(k_prep)
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def chunk(key, sstate, stats_state):
-        def body(carry, k):
-            ss, st = carry
-            ss, _ = sampler.draw(k, ss)
-            return (ss, stats_mod.record(st, qoi(ss.x))), None
-        keys = jax.random.split(key, STEPS)
-        (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
-        return ss, st
+    if use_pallas:
+        # fused VMEM-resident chain (ops/pallas_rotor.rotor_cluster_chain,
+        # VERDICT r4 item 8): the path never round-trips HBM between the
+        # n_updates x STEPS cluster rounds
+        four_pi2_inv_T = 1.0 / (4.0 * math.pi ** 2 * lat.T_final)
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def chunk(key, sstate, stats_state):
+            ss, wsum = sampler.draw_chain(key, sstate, STEPS)
+            chit = four_pi2_inv_T * wsum * wsum
+            stats_state = jax.lax.scan(
+                lambda st, q: (stats_mod.record(st, q), None),
+                stats_state, chit)[0]
+            return ss, stats_state
+    else:
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        def chunk(key, sstate, stats_state):
+            def body(carry, k):
+                ss, st = carry
+                ss, _ = sampler.draw(k, ss)
+                return (ss, stats_mod.record(st, qoi(ss.x))), None
+            keys = jax.random.split(key, STEPS)
+            (ss, st), _ = jax.lax.scan(body, (sstate, stats_state), keys)
+            return ss, st
 
     stats_state = stats.init(C, dtype)
     k_run, sub = jax.random.split(k_run)
     sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     stats_state = stats_mod.soft_reset(stats_state)
 
     n_chunks = 8
@@ -723,7 +741,7 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096,
     for _ in range(n_chunks):
         k_run, sub = jax.random.split(k_run)
         sstate, stats_state = chunk(sub, sstate, stats_state)
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     wall = time.monotonic() - t0
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)
@@ -733,7 +751,9 @@ def bench_rotor_cluster_M(M: int, n_chains: int = 4096,
     err = stats.error(stats_state)
     base = _ref_eff(f"rotor_cluster_M{M}", core_scaled=True)
     return {
-        "bench": "rotor_cluster_vec", "M": M, "n_chains": C,
+        "bench": ("rotor_cluster_pallas" if use_pallas
+                  else "rotor_cluster_vec"),
+        "M": M, "n_chains": C,
         "n_updates": n_updates, "seed": seed,
         "samples_per_sec": round(n_samples / wall, 1),
         "tau_int": round(tau, 3),
@@ -757,7 +777,8 @@ def bench_rotor(use_pallas: bool = True):
     trade-off against the reference's n_updates=10."""
     rows = []
     for M in (64, 128, 256):
-        runs = sorted((bench_rotor_cluster_M(M, seed=s)
+        runs = sorted((bench_rotor_cluster_M(M, seed=s,
+                                             use_pallas=use_pallas)
                        for s in (3, 17, 29)),
                       key=lambda r: r["eff_samples_per_sec"])
         med = dict(runs[1])
@@ -766,7 +787,8 @@ def bench_rotor(use_pallas: bool = True):
         med["sigma_dev_seeds"] = [r["sigma_dev"] for r in runs]
         med["tau_int_seeds"] = [r["tau_int"] for r in runs]
         rows.append(med)
-    sens = [bench_rotor_cluster_M(M, n_updates=5) for M in (64, 128, 256)]
+    sens = [bench_rotor_cluster_M(M, n_updates=5, use_pallas=use_pallas)
+            for M in (64, 128, 256)]
     vs = [r["vs_baseline"] for r in rows if r["vs_baseline"]]
     return {
         "bench": "rotor_cluster_vec_M64_128_256",
@@ -831,7 +853,7 @@ def bench_sigma_heatbath_seed(seed: int = 6):
     stats_state = stats.init(C, dtype)
     k_run, sub = jax.random.split(k_run)
     sstate, stats_state = chunk(sub, sstate, stats_state)   # warm-up
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     stats_state = stats_mod.soft_reset(stats_state)
 
     n_chunks = 8
@@ -839,7 +861,7 @@ def bench_sigma_heatbath_seed(seed: int = 6):
     for _ in range(n_chunks):
         k_run, sub = jax.random.split(k_run)
         sstate, stats_state = chunk(sub, sstate, stats_state)
-    jax.block_until_ready(stats_state)
+    _sync(stats_state)
     wall = time.monotonic() - t0
     n_samples = n_chunks * STEPS * C
     tau = stats.tau_int(stats_state)

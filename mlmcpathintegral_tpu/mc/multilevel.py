@@ -35,6 +35,7 @@ from mlmcpathintegral_tpu.mc.twolevel import make_coarse_subsampler
 from mlmcpathintegral_tpu.mc.twolevelstep import TwoLevelMetropolisStep
 from mlmcpathintegral_tpu.utils import statistics as stats_mod
 from mlmcpathintegral_tpu.utils.statistics import Statistics
+from mlmcpathintegral_tpu.utils.timer import sync
 
 
 class MonteCarloMultiLevel:
@@ -640,7 +641,7 @@ class MonteCarloMultiLevel:
             # drain per level: deep multi-level hierarchies enqueueing
             # many large programs back-to-back can wedge the tunnelled
             # device (observed UNAVAILABLE at 64x64 3-level)
-            jax.block_until_ready(tl)
+            sync(tl)
             rdtype = self.coarse_samplers[ell].x_of(cstate).dtype
             st_y = self.stats_qoi[ell].init(n_chains, rdtype)
             st_cs = self.stats_cs[ell].init(n_chains, rdtype)
@@ -672,7 +673,7 @@ class MonteCarloMultiLevel:
         # _device_summary) so its one-time compile lands in the prepare
         # phase, not inside a timed sampling phase
         self.stats_qoi[L - 1].samples(carry_L[1])
-        jax.block_until_ready(carry_L)
+        sync(carry_L)
         self.timings["prepare_s"] = time.monotonic() - t_start
 
         self.chunk_log = []   # (ell, dispatch_s, block_s) per run_level call
@@ -705,7 +706,7 @@ class MonteCarloMultiLevel:
                 done += n
                 n_chunks += 1
             t_d1 = time.monotonic()
-            jax.block_until_ready(carry)
+            sync(carry)
             self.chunk_log.append((ell, n_chunks, round(t_d1 - t_d0, 4),
                                    round(time.monotonic() - t_d1, 4)))
             return carry, key_run
@@ -766,7 +767,7 @@ class MonteCarloMultiLevel:
         self._reset_ybar(L)
         if verbose:
             print("Burnin completed")
-        jax.block_until_ready(carry_L)
+        sync(carry_L)
         self.timings["burnin_s"] = time.monotonic() - t_phase
 
         # adapt the fused kernels' static subsampling rates to the
@@ -791,7 +792,7 @@ class MonteCarloMultiLevel:
             n_probe = self._level_chunk(ell)
             t0 = time.monotonic()
             c, key_run = run_level(ell, c, n_probe, key_run)
-            jax.block_until_ready(c)
+            sync(c)
             per = (time.monotonic() - t0) / (n_probe * n_chains)
             self.cost_per_sample.append(per * 1e6)   # micro-seconds
             if ell == L - 1:

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from mlmcpathintegral_tpu.mc.twolevelstep import TwoLevelMetropolisStep
 from mlmcpathintegral_tpu.utils import statistics as stats_mod
 from mlmcpathintegral_tpu.utils.statistics import Statistics
+from mlmcpathintegral_tpu.utils.timer import sync
 
 
 def make_coarse_subsampler(coarse_sampler, qoi_coarse, t_max: int = 100):
@@ -304,7 +305,7 @@ class MonteCarloTwoLevel:
         n_accepted = jnp.zeros((), jnp.float64 if jax.config.jax_enable_x64
                                else jnp.float32)
         n_done = 0
-        jax.block_until_ready(carry)
+        sync(carry)
         self.timings["prepare_s"] = time.monotonic() - t0
         t_phase = time.monotonic()
         # burn-in phase: discard into the masked region (n_active=chunk);
@@ -322,7 +323,7 @@ class MonteCarloTwoLevel:
         carry = (cstate, tl, st_f, st_c, st_d, st_cs, t_accum)
         if verbose:
             print("Burnin completed")
-        jax.block_until_ready(carry)
+        sync(carry)
         self.timings["burnin_s"] = time.monotonic() - t_phase
 
         t_phase = time.monotonic()
@@ -333,7 +334,7 @@ class MonteCarloTwoLevel:
             carry, n_acc = self._chunk(sub, carry, n)
             n_accepted = n_accepted + n_acc.astype(n_accepted.dtype)
             n_done += n
-        jax.block_until_ready(carry)
+        sync(carry)
         # sampling-phase wall: the scope matching the reference-baseline
         # eff formula (run_ref_baselines.py prorates the C++ total over
         # the sampling fraction, excluding the TwoLevelMetropolisStep

@@ -41,11 +41,39 @@ class ClusterSampler(Sampler):
     the executable specification (clustersampler.cc:92-132)."""
 
     def __init__(self, action, n_burnin: int = 100, n_updates: int = 10,
-                 vectorised: bool = True):
+                 vectorised: bool = True, use_pallas: bool = False,
+                 block_chains: int = 1024, pallas_interpret: bool = False):
         super().__init__(action)
         self.n_burnin = int(n_burnin)
         self.n_updates = int(n_updates)
         self.vectorised = bool(vectorised)
+        self.use_pallas = bool(use_pallas)
+        self.block_chains = int(block_chains)
+        self.pallas_interpret = bool(pallas_interpret)
+        if self.use_pallas:
+            from mlmcpathintegral_tpu.models.rotor import RotorAction
+            if not isinstance(action, RotorAction):
+                raise ValueError(
+                    "the fused cluster chain kernel hard-codes the rotor "
+                    "hooks (S_ell/flip, rotoraction.hh:226-268)")
+
+    def draw_chain(self, key, state: ClusterState, n_steps: int):
+        """``n_steps`` fused cluster draws in one Pallas launch with the
+        path resident in VMEM (ops/pallas_rotor.rotor_cluster_chain).
+        Returns (state', wsum[n_steps, C]) — the winding-sum trace; the
+        susceptibility QoI is (wsum/2pi)^2 / T."""
+        from mlmcpathintegral_tpu.ops.pallas_rotor import rotor_cluster_chain
+        act = self.action
+        seed = jax.random.randint(key, (2,), -2 ** 31, 2 ** 31 - 1,
+                                  jnp.int32)
+        C = state.x.shape[0]
+        blk = min(self.block_chains, C)
+        x, wsum = rotor_cluster_chain(
+            state.x, seed, kappa2=2.0 * act.m0 / act.a_lat,
+            M=state.x.shape[-1], n_steps=n_steps,
+            n_updates=self.n_updates, block_chains=blk,
+            interpret=self.pallas_interpret)
+        return ClusterState(x=x), wsum
 
     def init(self, key, n_chains, dtype=None):
         dtype = dtype or default_dtype()

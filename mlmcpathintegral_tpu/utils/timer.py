@@ -45,3 +45,22 @@ class Timer:
 
     def __str__(self):
         return f"[timer {self.label}] : {self.elapsed:.4f} s"
+
+
+def sync(tree):
+    """Force REAL completion of the dispatch stream producing ``tree``.
+
+    ``jax.block_until_ready`` on the tunnelled axon TPU platform returns
+    before device execution finishes (tools/scaling_study.py works
+    around the same bug), so phase wall-clocks bounded by it
+    under-measure.  A host transfer of any output leaf cannot complete
+    until the producing program (and, transitively, every enqueued
+    predecessor) has executed — pull the smallest leaf.
+    """
+    import jax
+    import numpy as np
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "size")]
+    if leaves:
+        np.asarray(min(leaves, key=lambda a: a.size))
+    return tree
