@@ -867,6 +867,20 @@ class MonteCarloMultiLevel:
             c = carry_L if ell == L - 1 else carries[ell]
             stats.append(c[1] if ell == L - 1 else c[2])
         self._final_stats = stats
+        #: learned slow-mode (plaquette-energy) tau per fused level —
+        #: the quantity the t_sub clock ran on (diagnostic; None on
+        #: unfused levels, whose clock is the sampler's
+        #: subsample_observable)
+        self.tau_slow = []
+        for ell in range(L):
+            fused = (self._fused_coarsest() if ell == L - 1
+                     else self._fused_level(ell))
+            if not fused:
+                self.tau_slow.append(None)
+                continue
+            c = carry_L if ell == L - 1 else carries[ell]
+            st_sl = c[3] if ell == L - 1 else c[4]
+            self.tau_slow.append(self.stats_slow[ell].tau_int(st_sl))
         self.reliability = self._assess_reliability(stats)
         return stats
 

@@ -196,21 +196,36 @@ class MonteCarloTwoLevel:
                 self.conditioned_fine_action, self.qoi_fine,
                 self.qoi_coarse)
 
+            batch_draw = (getattr(self.coarse_sampler, "draw_batch", None)
+                          if getattr(self.coarse_sampler,
+                                     "independent_draws", False) else None)
+
             @functools.partial(jax.jit, donate_argnums=(1,))
             def _chunk(key, carry, n_active):
                 (cstate, tl, st_f, st_c, st_d, st_cs, t_accum) = carry
                 k_coarse, k_screen = jax.random.split(key)
 
-                def body_c(carry, k):
-                    cstate, st_cs, t_accum = carry
-                    cstate, st_cs, t_accum = draw_coarse(k, cstate, st_cs,
-                                                         t_accum)
-                    return (cstate, st_cs, t_accum), \
-                        self.coarse_sampler.x_of(cstate)
+                if batch_draw is not None:
+                    # iid coarse sampler: the whole chunk's coarse
+                    # samples in one batched draw — no scan at all
+                    cstate, xcs = batch_draw(k_coarse, cstate,
+                                             self.chunk_size)
+                    st_cs = stats_mod.record_many(st_cs,
+                                                  self.qoi_coarse(xcs))
+                    sum_t, n_indep = t_accum
+                    t_accum = (sum_t + float(self.chunk_size),
+                               n_indep + float(self.chunk_size))
+                else:
+                    def body_c(carry, k):
+                        cstate, st_cs, t_accum = carry
+                        cstate, st_cs, t_accum = draw_coarse(
+                            k, cstate, st_cs, t_accum)
+                        return (cstate, st_cs, t_accum), \
+                            self.coarse_sampler.x_of(cstate)
 
-                keys = jax.random.split(k_coarse, self.chunk_size)
-                (cstate, st_cs, t_accum), xcs = jax.lax.scan(
-                    body_c, (cstate, st_cs, t_accum), keys)
+                    keys = jax.random.split(k_coarse, self.chunk_size)
+                    (cstate, st_cs, t_accum), xcs = jax.lax.scan(
+                        body_c, (cstate, st_cs, t_accum), keys)
                 tl, qf, qc, acc = screen(k_screen, tl, xcs)
                 idx = jnp.arange(self.chunk_size)
 

@@ -40,5 +40,16 @@ class ExactSampler(Sampler):
         accept = jnp.ones(x.shape[:-1], bool)
         return ExactState(x=x), accept
 
+    def draw_batch(self, key, state: ExactState, n: int):
+        """``n`` iid draws for every chain as ONE batched program:
+        (state', xs[n, C, ndof]).  The batched two-level screen uses
+        this to collapse the coarse phase from n sequential scan steps
+        into a single (n*C)-row draw (one MXU matmul for the
+        spectral samplers)."""
+        C, N = state.x.shape
+        xs = self.action.exact_draw(key, n * C, state.x.dtype)
+        xs = xs.reshape(n, C, N)
+        return ExactState(x=xs[-1]), xs
+
     def prepare(self, key, n_chains, dtype=None):
         return self.init(key, n_chains, dtype)
