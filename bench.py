@@ -482,6 +482,8 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
             "sigma_dev": round(abs(num - oracle) / err, 2),
             "tau_int_Y0": round(tau0, 3),
             "t_sub": list(mc._t_sub),
+            "tau_slow": [None if t is None else round(t, 3)
+                         for t in getattr(mc, "tau_slow", [])],
             "wall_s": round(wall, 2),
             "method_wall_s": round(method_wall, 3),
             "timings": {k: round(v, 2) for k, v in mc.timings.items()},

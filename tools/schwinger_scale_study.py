@@ -144,6 +144,8 @@ def main():
                     choices=["heatbath", "cluster"])
     ap.add_argument("--no-pallas", action="store_true",
                     help="generic XLA chunks instead of fused kernels")
+    ap.add_argument("--append", action="store_true",
+                    help="append rows to --csv instead of overwriting")
     args = ap.parse_args()
 
     rows = []
@@ -222,11 +224,13 @@ def main():
                   f"{coef[1]:.3e} * eps^-2 ; log-log tail slope in "
                   f"eps^-2 = {slope:.3f} (O(eps^-2) <=> 1.0)", flush=True)
     if args.csv and rows:
-        with open(args.csv, "w", newline="") as fh:
+        mode = "a" if args.append and Path(args.csv).exists() else "w"
+        with open(args.csv, mode, newline="") as fh:
             w = csv.DictWriter(fh, fieldnames=list(rows[0]))
-            w.writeheader()
+            if mode == "w":
+                w.writeheader()
             w.writerows(rows)
-        print(f"wrote {args.csv}")
+        print(f"wrote {args.csv} ({mode})")
 
 
 if __name__ == "__main__":
