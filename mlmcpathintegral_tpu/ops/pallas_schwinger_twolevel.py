@@ -439,9 +439,9 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
                      fine_out, coarse_out, scache_out,
                      y_ref, qc_ref, ec_ref, acc_ref, *,
                      beta, beta_c, Mtc, n_steps, t_sub,
-                     n_overrelax_c, n_heatbath_c, k_rej, k_rej_bessel,
-                     alphas, log_i0_2beta, sigma_beta, block_chains,
-                     exact=True):
+                     n_overrelax_c, n_heatbath_c, k_rej, k_rej_fill,
+                     k_rej_bessel, alphas, log_i0_2beta, sigma_beta,
+                     block_chains, exact=True):
     dtype = fine_ref.dtype
     sh = tpu_sh
     # two RNG shapes: coarse-cell grid draws and (via row 0) per-chain
@@ -487,7 +487,7 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
         # ---- trial: prolongate + conditioned fill ----
         trial, fill_ok = prolongate_fill(
             rng, Tc, Xc, beta, log_i0_2beta, sigma_beta,
-            k_rej, k_rej_bessel, sh, dtype, exact=exact)
+            k_rej_fill, k_rej_bessel, sh, dtype, exact=exact)
         fill_ok = fill_ok[None]                                # [1, C]
 
         # ---- the three dS terms (twolevelmetropolisstep.cc:35-89) ----
@@ -531,12 +531,14 @@ def _twolevel_kernel(seed_ref, fine_ref, coarse_ref, scache_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "beta", "beta_c", "Mt", "Mx", "n_steps", "t_sub", "n_overrelax_c",
-    "n_heatbath_c", "k_rej", "k_rej_bessel", "block_chains", "interpret"))
+    "n_heatbath_c", "k_rej", "k_rej_fill", "k_rej_bessel",
+    "block_chains", "interpret"))
 def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
                              s_cond_cache, seed, *, beta, beta_c, Mt, Mx,
                              n_steps, t_sub=2, n_overrelax_c=1,
-                             n_heatbath_c=1, k_rej=8, k_rej_bessel=16,
-                             block_chains=128, interpret=False):
+                             n_heatbath_c=1, k_rej=8, k_rej_fill=16,
+                             k_rej_bessel=48, block_chains=128,
+                             interpret=False):
     """``n_steps`` fused two-level MLMC draws in ONE kernel launch.
 
     theta_fine: [C, 2*Mt*Mx] fine links; theta_coarse: [C, 2*(Mt/2)*(Mx/2)]
@@ -554,6 +556,16 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
     BesselProduct fill branch (besselproductdistribution.hh:38-44);
     beta > 8 the large-beta Gaussian-mixture branch
     (quenchedschwingerconditionedfineaction.hh:37-44).
+
+    Round counts: ``k_rej`` bounds the coarse heat-bath rejection (the
+    stay-fallback there is an exact kernel mixture); the FILL rounds
+    ``k_rej_fill``/``k_rej_bessel`` instead force-reject the whole
+    two-level move on exhaustion, whose probability is weakly
+    staple-dependent and therefore a bias source when non-negligible —
+    measured -0.09% (3.2 sigma over 6 seeds) at 16x16 beta=8 with the
+    old (8, 16) rounds at a 7% per-chain failure rate
+    (docs/screen_bias.csv).  The defaults (16, 48) push the per-chain
+    failure below 1e-5 across beta <= 8 for ~10% extra kernel work.
     """
     exact = float(beta) <= 8.0
     if exact:
@@ -585,7 +597,8 @@ def schwinger_twolevel_chain(theta_fine, theta_coarse, s_fine_cache,
         _twolevel_kernel, beta=float(beta), beta_c=float(beta_c),
         Mtc=int(Mtc), n_steps=int(n_steps), t_sub=int(t_sub),
         n_overrelax_c=int(n_overrelax_c), n_heatbath_c=int(n_heatbath_c),
-        k_rej=int(k_rej), k_rej_bessel=int(k_rej_bessel), alphas=alphas,
+        k_rej=int(k_rej), k_rej_fill=int(k_rej_fill),
+        k_rej_bessel=int(k_rej_bessel), alphas=alphas,
         log_i0_2beta=float(log_i0_2beta), sigma_beta=float(sigma_beta),
         block_chains=int(block_chains), exact=exact)
 

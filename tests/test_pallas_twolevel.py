@@ -277,3 +277,50 @@ def test_fused_chain_matches_oracles(BETA):
     err = y.std() / math.sqrt(y.size / (2 * 20.0))
     if abs(oracle) > 1e-4 or err > 1e-6:
         assert abs(est - oracle) < 4 * err, (est, err, oracle, p_acc)
+
+
+def test_fill_force_reject_rate_negligible():
+    """The truncated fill's force-reject probability is weakly
+    staple-dependent, so a non-negligible rate biases the screened chain
+    (measured -0.09% at 16x16 beta=8 with the old (8, 16) rounds at 7%
+    per-chain failure — docs/screen_bias.csv).  Pin the default round
+    counts to a per-chain failure rate < 1e-3 at the worst case of the
+    exact branch (beta = 8)."""
+    import math
+
+    from mlmcpathintegral_tpu.distributions.besselproduct import (
+        BesselProductDistribution,
+    )
+    from mlmcpathintegral_tpu.models.base import RenormalisationType
+    from mlmcpathintegral_tpu.ops.pallas_rng import CounterRng, element_ids
+    from mlmcpathintegral_tpu.samplers.heatbath import (
+        OverrelaxedHeatBathSampler,
+    )
+
+    beta, M, C = 8.0, 16, 1024
+    lat = Lattice2D(M, M, CoarseningType.BOTH)
+    act = QuenchedSchwingerAction(
+        lat, beta=beta, renormalisation=RenormalisationType.NONPERTURBATIVE)
+    cact = act.coarse_action()
+    s = OverrelaxedHeatBathSampler(cact, n_burnin=200)
+    st = s.prepare(jax.random.PRNGKey(0), C, jnp.float32)
+    xc = s.x_of(st)
+    bp = BesselProductDistribution(beta)
+    Mtc = M // 2
+    gc = xc.reshape(C, Mtc, Mtc, 2).transpose(3, 1, 2, 0)
+    site, chain = element_ids((Mtc, Mtc, C), C, jnp.uint32(0))
+    import inspect
+
+    sig = inspect.signature(tl.schwinger_twolevel_chain)
+    k_fill = sig.parameters["k_rej_fill"].default
+    k_bessel = sig.parameters["k_rej_bessel"].default
+    fails = []
+    for step in range(4):
+        rng = CounterRng(jnp.uint32(123), site, chain, jnp.uint32(77),
+                         step=jnp.uint32(step))
+        _, ok = tl.prolongate_fill(
+            rng, gc[0], gc[1], beta, bp.log_I0_twobeta, bp.sigma_beta,
+            k_fill, k_bessel, tl.jnp_sh, jnp.float32, exact=True)
+        fails.append(1.0 - np.asarray(ok, np.float64).mean())
+    rate = float(np.mean(fails))
+    assert rate < 1e-3, (rate, k_fill, k_bessel)
