@@ -259,13 +259,7 @@ class MonteCarloMultiLevel:
                 Mt=lat.Mt_lat, Mx=lat.Mx_lat,
                 n_steps=chunk_size, t_sub=t_sub,
                 block_chains=block, interpret=interpret)
-            idx = jnp.arange(chunk_size)
-
-            def rec(st, inp):
-                yv, i = inp
-                return stats_mod.record_masked(st, yv, i < n_active), None
-
-            st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
+            st_y = stats_mod.record_block(st_y, y, n_valid=n_active)
             st_cs = stats_mod.record_many(st_cs,
                                           four_pi2_inv * qc * qc)
             # slow-mode (plaquette-energy) trace of the in-kernel coarse
@@ -324,13 +318,7 @@ class MonteCarloMultiLevel:
             st_cs = stats_mod.record_many(st_cs, qoi)
             st_slow = stats_mod.record_many(st_slow, esum - ec_center)
             y = qoi[t_sub - 1::t_sub]              # [chunk, C]
-            idx = jnp.arange(chunk_size)
-
-            def rec(st, inp):
-                yv, i = inp
-                return stats_mod.record_masked(st, yv, i < n_active), None
-
-            st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
+            st_y = stats_mod.record_block(st_y, y, n_valid=n_active)
             sum_t, n_indep = t_accum
             t_accum = (sum_t + t_sub * chunk_size,
                        n_indep + float(chunk_size))
@@ -492,15 +480,9 @@ class MonteCarloMultiLevel:
                         body_c, (cstate, st_cs, t_accum),
                         jax.random.split(k_c, self.chunk_size))
                     tl, qf, qc, _ = screen(k_s, tl, xcs)
+                    st_y = stats_mod.record_block(st_y, qf - qc,
+                                                  n_valid=n_active)
                     y = qf - qc
-                    idx = jnp.arange(self.chunk_size)
-
-                    def rec(st, inp):
-                        yv, i = inp
-                        return stats_mod.record_masked(st, yv,
-                                                       i < n_active), None
-
-                    st_y = jax.lax.scan(rec, st_y, (y, idx))[0]
                     return (cstate, tl, st_y, st_cs, st_slow, t_accum), \
                         jnp.mean(y, axis=1)
             else:
@@ -508,27 +490,23 @@ class MonteCarloMultiLevel:
                           step=step, qoi_f=qoi_f, qoi_c=qoi_c):
                     cstate, tl, st_y, st_cs, st_slow, t_accum = carry
 
-                    def body(carry, inp):
-                        cstate, tl, st_y, st_cs, t_accum = carry
-                        k, i = inp
+                    def body(carry, k):
+                        cstate, tl, st_cs, t_accum = carry
                         k1, k2 = jax.random.split(k)
                         cstate, st_cs, t_accum = draw_coarse(k1, cstate,
                                                              st_cs, t_accum)
                         xc = draw_coarse.sampler.x_of(cstate)
                         tl, _ = step.draw(k2, tl, xc)
                         y = qoi_f(tl.theta) - qoi_c(xc)
-                        st_y = stats_mod.record_masked(st_y, y,
-                                                       i < n_active)
-                        return (cstate, tl, st_y, st_cs, t_accum), \
-                            jnp.mean(y)
+                        return (cstate, tl, st_cs, t_accum), y
                     keys = jax.random.split(key, self.chunk_size)
-                    idx = jnp.arange(self.chunk_size)
-                    (cstate, tl, st_y, st_cs, t_accum), ybar = \
+                    (cstate, tl, st_cs, t_accum), y = \
                         jax.lax.scan(body,
-                                     (cstate, tl, st_y, st_cs, t_accum),
-                                     (keys, idx))
+                                     (cstate, tl, st_cs, t_accum), keys)
+                    st_y = stats_mod.record_block(st_y, y,
+                                                  n_valid=n_active)
                     return (cstate, tl, st_y, st_cs, st_slow, t_accum), \
-                        ybar
+                        jnp.mean(y, axis=1)
 
             self._chunk.append(jax.jit(chunk, donate_argnums=(1,)))
 
@@ -572,19 +550,18 @@ class MonteCarloMultiLevel:
         def chunk_L(key, carry, n_active):
             cstate, st_y, st_cs, st_slow, t_accum = carry
 
-            def body(carry, inp):
-                cstate, st_y, st_cs, t_accum = carry
-                k, i = inp
+            def body(carry, k):
+                cstate, st_cs, t_accum = carry
                 cstate, st_cs, t_accum = draw_coarse(k, cstate, st_cs,
                                                      t_accum)
                 y = qoi_L(draw_coarse.sampler.x_of(cstate))
-                st_y = stats_mod.record_masked(st_y, y, i < n_active)
-                return (cstate, st_y, st_cs, t_accum), jnp.mean(y)
+                return (cstate, st_cs, t_accum), y
             keys = jax.random.split(key, self.chunk_size)
-            idx = jnp.arange(self.chunk_size)
-            (cstate, st_y, st_cs, t_accum), ybar = jax.lax.scan(
-                body, (cstate, st_y, st_cs, t_accum), (keys, idx))
-            return (cstate, st_y, st_cs, st_slow, t_accum), ybar
+            (cstate, st_cs, t_accum), y = jax.lax.scan(
+                body, (cstate, st_cs, t_accum), keys)
+            st_y = stats_mod.record_block(st_y, y, n_valid=n_active)
+            return (cstate, st_y, st_cs, st_slow, t_accum), \
+                jnp.mean(y, axis=1)
 
         self._chunk_L = jax.jit(chunk_L, donate_argnums=(1,))
 

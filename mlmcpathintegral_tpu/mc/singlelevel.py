@@ -62,21 +62,18 @@ class MonteCarloSingleLevel:
                         with_states: bool, with_qs: bool):
             """Advance chunk_size draws; record QoI only for the first
             n_active steps (montecarlosinglelevel.cc:58-77)."""
-            def body(carry, inp):
-                ss, st = carry
-                k, i = inp
+            def body(ss, k):
                 ss, accept = self.sampler.draw(k, ss)
                 x = self.sampler.x_of(ss)
                 q = self.qoi(x)
-                st = stats_mod.record_masked(st, q, i < n_active)
                 out = (jnp.sum(accept), q)
                 if with_states:
                     out = out + (x,)
-                return (ss, st), out
+                return ss, out
             keys = jax.random.split(key, self.chunk_size)
-            idx = jnp.arange(self.chunk_size)
-            (ss, st), outs = jax.lax.scan(
-                body, (sampler_state, stats_state), (keys, idx))
+            ss, outs = jax.lax.scan(body, sampler_state, keys)
+            st = stats_mod.record_block(stats_state, outs[1],
+                                        n_valid=n_active)
             # cross-chain mean of the QoI trace, reduced on device: the
             # binning cross-check only needs this [chunk] vector, not the
             # full [chunk, C] trace (a per-chunk pull of which would

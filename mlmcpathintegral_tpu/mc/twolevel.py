@@ -228,18 +228,10 @@ class MonteCarloTwoLevel:
                         body_c, (cstate, st_cs, t_accum), keys)
                 tl, qf, qc, acc = screen(k_screen, tl, xcs)
                 idx = jnp.arange(self.chunk_size)
-
-                def body_rec(carry, inp):
-                    st_f, st_c, st_d = carry
-                    qf_t, qc_t, i = inp
-                    en = i < n_active
-                    st_f = stats_mod.record_masked(st_f, qf_t, en)
-                    st_c = stats_mod.record_masked(st_c, qc_t, en)
-                    st_d = stats_mod.record_masked(st_d, qf_t - qc_t, en)
-                    return (st_f, st_c, st_d), None
-
-                (st_f, st_c, st_d), _ = jax.lax.scan(
-                    body_rec, (st_f, st_c, st_d), (qf, qc, idx))
+                st_f = stats_mod.record_block(st_f, qf, n_valid=n_active)
+                st_c = stats_mod.record_block(st_c, qc, n_valid=n_active)
+                st_d = stats_mod.record_block(st_d, qf - qc,
+                                              n_valid=n_active)
                 n_acc = jnp.sum(jnp.where((idx < n_active)[:, None],
                                           acc, False), dtype=jnp.int32)
                 return (cstate, tl, st_f, st_c, st_d, st_cs, t_accum), \
@@ -250,7 +242,7 @@ class MonteCarloTwoLevel:
                 (cstate, tl, st_f, st_c, st_d, st_cs, t_accum) = carry
 
                 def body(carry, inp):
-                    cstate, tl, st_f, st_c, st_d, st_cs, t_accum = carry
+                    cstate, tl, st_cs, t_accum = carry
                     k, i = inp
                     k1, k2 = jax.random.split(k)
                     cstate, st_cs, t_accum = draw_coarse(k1, cstate, st_cs,
@@ -259,21 +251,20 @@ class MonteCarloTwoLevel:
                     tl, accept = self.twolevel_step.draw(k2, tl, xc)
                     qf = self.qoi_fine(tl.theta)
                     qc = self.qoi_coarse(xc)
-                    en = i < n_active
-                    st_f = stats_mod.record_masked(st_f, qf, en)
-                    st_c = stats_mod.record_masked(st_c, qc, en)
-                    st_d = stats_mod.record_masked(st_d, qf - qc, en)
-                    n_acc = jnp.where(en, jnp.sum(accept, dtype=jnp.int32),
-                                      0)
-                    return (cstate, tl, st_f, st_c, st_d, st_cs,
-                            t_accum), n_acc
+                    n_acc = jnp.where(i < n_active,
+                                      jnp.sum(accept, dtype=jnp.int32), 0)
+                    return (cstate, tl, st_cs, t_accum), (qf, qc, n_acc)
 
                 keys = jax.random.split(key, self.chunk_size)
                 idx = jnp.arange(self.chunk_size)
-                carry, acc = jax.lax.scan(
-                    body, (cstate, tl, st_f, st_c, st_d, st_cs, t_accum),
-                    (keys, idx))
-                return carry, jnp.sum(acc)
+                (cstate, tl, st_cs, t_accum), (qf, qc, acc) = jax.lax.scan(
+                    body, (cstate, tl, st_cs, t_accum), (keys, idx))
+                st_f = stats_mod.record_block(st_f, qf, n_valid=n_active)
+                st_c = stats_mod.record_block(st_c, qc, n_valid=n_active)
+                st_d = stats_mod.record_block(st_d, qf - qc,
+                                              n_valid=n_active)
+                return (cstate, tl, st_f, st_c, st_d, st_cs, t_accum), \
+                    jnp.sum(acc)
 
         self._chunk = _chunk
 

@@ -127,3 +127,69 @@ def test_record_masked_noop_when_disabled():
     assert stats.local_samples(st2) == 0
     st3 = stats_mod.record_masked(st, jnp.ones(4), jnp.asarray(True))
     assert stats.local_samples(st3) == 1
+
+
+def _record_scan(state, Qs):
+    def body(s, q):
+        return stats_mod.record(s, q), None
+    state, _ = jax.lax.scan(body, state, Qs)
+    return state
+
+
+@pytest.mark.parametrize("T,k_max", [(7, 5), (64, 40), (3, 8), (40, 40)])
+def test_record_block_matches_sequential(T, k_max):
+    """record_block == T sequential record() calls, including the
+    partial-history start-up regime (T < k_max, T == k_max, T > k_max)
+    and a second block continuing from real ring history."""
+    rng = np.random.default_rng(7)
+    C = 16
+    Qs1 = jnp.asarray(rng.normal(size=(T, C)))
+    Qs2 = jnp.asarray(rng.normal(size=(T, C)))
+    st_a = stats_mod.init(C, k_max, jnp.float64)
+    st_b = stats_mod.init(C, k_max, jnp.float64)
+    for Qs in (Qs1, Qs2):
+        st_a = _record_scan(st_a, Qs)
+        st_b = stats_mod.record_block(st_b, Qs)
+    for name, a, b in zip(st_a._fields, st_a, st_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12, err_msg=name)
+
+
+@pytest.mark.parametrize("n_valid", [0, 1, 5, 11, 16])
+def test_record_block_prefix_matches_masked_scan(n_valid):
+    """record_block(n_valid=v) == per-step record_masked(i < v)."""
+    rng = np.random.default_rng(8)
+    T, C, k_max = 16, 8, 10
+    warm = jnp.asarray(rng.normal(size=(6, C)))
+    Qs = jnp.asarray(rng.normal(size=(T, C)))
+    st_a = _record_scan(stats_mod.init(C, k_max, jnp.float64), warm)
+    st_b = stats_mod.record_block(stats_mod.init(C, k_max, jnp.float64),
+                                  warm)
+
+    def masked_scan(s):
+        def body(s, inp):
+            q, i = inp
+            return stats_mod.record_masked(s, q, i < n_valid), None
+        s, _ = jax.lax.scan(body, s, (Qs, jnp.arange(T)))
+        return s
+
+    st_a = masked_scan(st_a)
+    st_b = stats_mod.record_block(st_b, Qs, n_valid=jnp.asarray(n_valid))
+    for name, a, b in zip(st_a._fields, st_a, st_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12, err_msg=name)
+
+
+def test_record_block_traced_n_valid_jit():
+    """n_valid may be a traced scalar inside jit (the chunk drivers pass
+    the live n_active)."""
+    rng = np.random.default_rng(9)
+    T, C, k_max = 12, 4, 6
+    Qs = jnp.asarray(rng.normal(size=(T, C)), jnp.float32)
+
+    @jax.jit
+    def step(st, nv):
+        return stats_mod.record_block(st, Qs, n_valid=nv)
+
+    st = step(stats_mod.init(C, k_max), jnp.asarray(7, jnp.int32))
+    assert stats_mod.Statistics("Q", k_max).samples(st) == 7 * C
