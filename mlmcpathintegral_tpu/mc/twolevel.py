@@ -15,6 +15,7 @@ no host round-trips per sample.
 from __future__ import annotations
 
 import functools
+import math
 import time
 
 import jax
@@ -166,7 +167,9 @@ class MonteCarloTwoLevel:
                  n_coarse_autocorr_window: int = 20,
                  n_fine_autocorr_window: int = 20,
                  n_delta_autocorr_window: int = 20,
-                 chunk_size: int = 256):
+                 chunk_size: int = 256,
+                 use_pallas: bool = False, pallas_interpret: bool = False,
+                 block_chains: int = 512, t_sub_min: int = 2):
         self.fine_action = fine_action
         self.coarse_action = fine_action.coarse_action()
         self.qoi_fine = qoi_factory(fine_action)
@@ -183,6 +186,11 @@ class MonteCarloTwoLevel:
         self.stats_coarse = Statistics("QoI[coarse]", n_coarse_autocorr_window)
         self.stats_diff = Statistics("delta QoI", n_delta_autocorr_window)
         self.stats_cs = Statistics("QoI[coarsesampler]", n_autocorr_window)
+        self.stats_slow = Statistics("E[coarsesampler]", n_autocorr_window)
+        self.pallas_interpret = bool(pallas_interpret)
+        self.block_chains = int(block_chains)
+        self.t_sub_min = int(t_sub_min)
+        self._fused_params = self._fused_qm_spec() if use_pallas else None
 
         draw_coarse = make_coarse_subsampler(self.coarse_sampler,
                                              self.qoi_coarse)
@@ -268,6 +276,155 @@ class MonteCarloTwoLevel:
 
         self._chunk = _chunk
 
+    # -- fused QM path (ops/pallas_qm_twolevel.py) -------------------------
+
+    def _fused_qm_spec(self):
+        """Kernel params if the fused QM two-level kernel supports this
+        configuration (harmonic/quartic fine action + HMC coarse sampler +
+        Gaussian conditional fill), else None."""
+        from mlmcpathintegral_tpu.conditioned.qm import (
+            GaussianConditionedFineAction,
+        )
+        from mlmcpathintegral_tpu.ops.pallas_hmc import action_kernel_params
+        from mlmcpathintegral_tpu.samplers.hmc import HMCSampler
+        if type(self.conditioned_fine_action) is not \
+                GaussianConditionedFineAction:
+            return None
+        if not isinstance(self.coarse_sampler, HMCSampler) \
+                or self.coarse_sampler.n_rep != 1:
+            return None
+        kind, params = action_kernel_params(self.fine_action)
+        if kind not in ("harmonic", "quartic"):
+            return None
+        params = dict(params)
+        params.setdefault("lam", 0.0)
+        params.setdefault("x0", 0.0)
+        return params
+
+    def _make_fused_chunk(self, t_sub: int, n_chains: int):
+        from mlmcpathintegral_tpu.ops.pallas_qm_twolevel import (
+            qm_twolevel_chain,
+        )
+        p = self._fused_params
+        nt = self.coarse_sampler.nt
+        block = min(self.block_chains, n_chains)
+        chunk_size = self.chunk_size
+        Mc = self.coarse_action.lattice.M_lat
+        inv_Mc = 1.0 / Mc
+        interpret = self.pallas_interpret
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def chunk(key, carry, n_active):
+            fine, xc, scache, dt, st_f, st_c, st_d, st_cs, st_slow = carry
+            seed = jax.random.randint(key, (2,), -2**31, 2**31 - 1,
+                                      jnp.int32)
+            fine, xc, scache, qf, qc, cs, ec, acc = qm_twolevel_chain(
+                fine, xc, scache, dt, seed, m0=p["m0"], mu2=p["mu2"],
+                lam=p["lam"], x0=p["x0"], a_lat=p["a_lat"], nt=nt,
+                n_steps=chunk_size, t_sub=t_sub, block_chains=block,
+                interpret=interpret)
+            st_f = stats_mod.record_block(st_f, qf, n_valid=n_active)
+            st_c = stats_mod.record_block(st_c, qc, n_valid=n_active)
+            st_d = stats_mod.record_block(st_d, qf - qc, n_valid=n_active)
+            st_cs = stats_mod.record_many(st_cs, cs)
+            # intensive energy (per coarse site): the configuration slow
+            # mode feeding the t_sub clock (mc/twolevel.py slow-mode rule)
+            st_slow = stats_mod.record_many(st_slow, inv_Mc * ec)
+            idx = jnp.arange(chunk_size)
+            n_acc = jnp.sum(jnp.where((idx < n_active)[:, None], acc, 0.0),
+                            dtype=jnp.float32)
+            carry = (fine, xc, scache, dt, st_f, st_c, st_d, st_cs,
+                     st_slow)
+            return carry, n_acc
+
+        return chunk
+
+    def _fused_t_sub(self):
+        """t_sub from the measured clock: ceil(2 * max(tau_QoI, tau_slow))
+        of the per-trajectory coarse traces, floored at t_sub_min and
+        capped at 100 (montecarlotwolevel.cc:82-94 + the slow-mode rule)."""
+        tau_q = stats_mod.tau_int_device(self._st_cs_last)
+        tau_e = stats_mod.tau_int_device(self._st_slow_last)
+        tau = float(jnp.maximum(tau_q, tau_e))
+        self.tau_slow = float(tau_e)
+        return int(min(100, max(self.t_sub_min,
+                                math.ceil(2.0 * tau))))
+
+    def _evaluate_difference_fused(self, key, n_chains, dtype,
+                                   verbose=False):
+        import numpy as np   # noqa: F401  (parity with unfused imports)
+        t0 = time.monotonic()
+        self.timings = {}
+        k_prep, k_run = jax.random.split(key)
+        cstate = self.coarse_sampler.prepare(k_prep, n_chains, dtype)
+        rdtype = cstate.x.dtype
+        k_prep2 = jax.random.fold_in(k_prep, 1)
+        x_fine = self.fine_action.initialise_state(k_prep, n_chains, rdtype)
+        x_fine = self.fine_action.prolongate(cstate.x, x_fine)
+        x_fine = self.conditioned_fine_action.fill_fine_points(k_prep2,
+                                                               x_fine)
+        fine = jnp.stack([x_fine[..., ::2], x_fine[..., 1::2]])
+        scache = jnp.stack([self.fine_action.evaluate(x_fine),
+                            self.conditioned_fine_action.evaluate(x_fine)])
+        st_f = self.stats_fine.init(n_chains, rdtype)
+        st_c = self.stats_coarse.init(n_chains, rdtype)
+        st_d = self.stats_diff.init(n_chains, rdtype)
+        st_cs = self.stats_cs.init(n_chains, rdtype)
+        st_slow = self.stats_slow.init(n_chains, rdtype)
+        carry = (fine, cstate.x, scache, cstate.dt,
+                 st_f, st_c, st_d, st_cs, st_slow)
+        sync(carry)
+        self.timings["prepare_s"] = time.monotonic() - t0
+
+        t_phase = time.monotonic()
+        t_sub = self.t_sub_min
+        chunk = self._make_fused_chunk(t_sub, n_chains)
+        n_burn = 0
+        while n_burn < self.n_burnin:
+            n = min(self.chunk_size, self.n_burnin - n_burn)
+            k_run, sub = jax.random.split(k_run)
+            carry, _ = chunk(sub, carry, n)
+            n_burn += n
+        sync(carry)
+        self.timings["burnin_s"] = time.monotonic() - t_phase
+
+        # t_sub clock from the burn-in traces (ratchet up only)
+        t_phase = time.monotonic()
+        self._st_cs_last, self._st_slow_last = carry[7], carry[8]
+        t_new = self._fused_t_sub()
+        if t_new > t_sub:
+            t_sub = t_new
+            chunk = self._make_fused_chunk(t_sub, n_chains)
+        self._t_sub = t_sub
+        # hard-reset the Y statistics after burn-in
+        # (montecarlotwolevel.cc:66-69)
+        carry = carry[:4] + (
+            self.stats_fine.init(n_chains, rdtype),
+            self.stats_coarse.init(n_chains, rdtype),
+            self.stats_diff.init(n_chains, rdtype)) + carry[7:]
+        sync(carry)
+        self.timings["tsub_update_s"] = time.monotonic() - t_phase
+
+        t_phase = time.monotonic()
+        n_accepted = jnp.zeros((), jnp.float32)
+        n_done = 0
+        local_target = -(-self.n_samples // n_chains)
+        while n_done < local_target:
+            n = min(self.chunk_size, local_target - n_done)
+            k_run, sub = jax.random.split(k_run)
+            carry, n_acc = chunk(sub, carry, n)
+            n_accepted = n_accepted + n_acc
+            n_done += n
+        sync(carry)
+        self.timings["sampling_s"] = time.monotonic() - t_phase
+        self.elapsed_s = time.monotonic() - t0
+        (fine, xc, scache, dt, st_f, st_c, st_d, st_cs, st_slow) = carry
+        self.p_accept = float(n_accepted) / (n_done * n_chains)
+        self.t_indep = float(t_sub)
+        self._st_cs_last, self._st_slow_last = st_cs, st_slow
+        return {"fine": st_f, "coarse": st_c, "diff": st_d,
+                "coarse_sampler": st_cs, "coarse_slow": st_slow}
+
     def evaluate_difference(self, key, n_chains: int, dtype=None,
                             verbose: bool = False, mesh=None):
         """Burn-in then record n_samples of (Q_f, Q_c, Y); returns the stats
@@ -276,6 +433,9 @@ class MonteCarloTwoLevel:
         reference splits two-level samples over MPI ranks,
         montecarlotwolevel.cc:62-63 — this is the same data parallelism
         over devices)."""
+        if self._fused_params is not None and mesh is None:
+            return self._evaluate_difference_fused(key, n_chains, dtype,
+                                                   verbose)
         t0 = time.monotonic()
         self.timings = {}
         k_prep, k_run = jax.random.split(key)
