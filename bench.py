@@ -632,7 +632,10 @@ def bench_quartic_twolevel(seed: int = 14):
         conditioned_fine_action_factory=make_conditioned_fine_action,
         n_burnin=100, n_samples=256 * C, chunk_size=64,
         n_autocorr_window=40, n_coarse_autocorr_window=40,
-        n_fine_autocorr_window=40, n_delta_autocorr_window=40)
+        n_fine_autocorr_window=40, n_delta_autocorr_window=40,
+        # fully fused two-level chain kernel (ops/pallas_qm_twolevel.py):
+        # coarse HMC + Gaussian fill + screen resident in VMEM
+        use_pallas=(_BACKEND == "tpu"), block_chains=1024)
     # warm the jit cache so the measured run is the method, not XLA
     mc.n_samples, real_n = C, mc.n_samples
     mc.evaluate_difference(jax.random.PRNGKey(seed), n_chains=C,

@@ -98,15 +98,31 @@ def make_batched_screen(fine_action, coarse_action, cond, qoi_fine,
     ``slice_budget_bytes`` of HBM.
     """
 
-    def screen_slice(key, tl, s_cc0, qf0, xcs):
+    fill_with_logq = getattr(cond, "fill_with_logq", None)
+    fill_with_logq_sf = getattr(cond, "fill_with_logq_sf", None)
+
+    def screen_slice(key, tl, s_cc0, qf0, xcs, s_cc_pre=None):
         S = xcs.shape[0]
         k_fill, k_acc = jax.random.split(key)
         theta_prop = fine_action.prolongate(
             xcs, jnp.broadcast_to(tl.theta, (S,) + tl.theta.shape))
-        theta_prop = cond.fill_fine_points(k_fill, theta_prop)
-        S_f = fine_action.evaluate(theta_prop)        # [S, C]
-        S_q = cond.evaluate(theta_prop)               # [S, C]
-        S_cc = coarse_action.evaluate(xcs)            # [S, C]
+        if fill_with_logq_sf is not None:
+            # combined fill + proposal log-density + fine action in one
+            # stencil pass (bipartite edge identity — see
+            # GFFConditionedFineAction.fill_with_logq_sf)
+            theta_prop, S_q, S_f = fill_with_logq_sf(k_fill, theta_prop)
+        elif fill_with_logq is not None:
+            # combined fill + proposal log-density: for conditionally-
+            # Gaussian fills S_q(filled) = 1/2 sum xi^2 in closed form,
+            # saving a full stencil pass over the [S, C, ndof] proposals
+            theta_prop, S_q = fill_with_logq(k_fill, theta_prop)
+            S_f = fine_action.evaluate(theta_prop)    # [S, C]
+        else:
+            theta_prop = cond.fill_fine_points(k_fill, theta_prop)
+            S_q = cond.evaluate(theta_prop)           # [S, C]
+            S_f = fine_action.evaluate(theta_prop)    # [S, C]
+        S_cc = (coarse_action.evaluate(xcs)           # [S, C]
+                if s_cc_pre is None else s_cc_pre)
         qf = qoi_fine(theta_prop)                     # [S, C]
         u = jax.random.uniform(k_acc, S_f.shape, S_f.dtype)
 
@@ -137,7 +153,7 @@ def make_batched_screen(fine_action, coarse_action, cond, qoi_fine,
         tl_new = type(tl)(theta=theta_fin, S_fine=s_f, S_cond=s_q)
         return tl_new, s_cc, q_cur, qf_cur, acc
 
-    def screen(key, tl, xcs):
+    def screen(key, tl, xcs, s_cc_pre=None):
         S, C = xcs.shape[0], xcs.shape[1]
         ndof = tl.theta.shape[-1]
         s_slice = max(1, min(S, slice_budget_bytes
@@ -148,7 +164,8 @@ def make_batched_screen(fine_action, coarse_action, cond, qoi_fine,
         for lo in range(0, S, s_slice):
             sub = jax.random.fold_in(key, lo)
             tl, s_cc0, qf0, qf_c, acc = screen_slice(
-                sub, tl, s_cc0, qf0, xcs[lo:lo + s_slice])
+                sub, tl, s_cc0, qf0, xcs[lo:lo + s_slice],
+                None if s_cc_pre is None else s_cc_pre[lo:lo + s_slice])
             qf_parts.append(qf_c)
             acc_parts.append(acc)
         qc = qoi_coarse(xcs)                          # [S, C]
@@ -215,9 +232,18 @@ class MonteCarloTwoLevel:
 
                 if batch_draw is not None:
                     # iid coarse sampler: the whole chunk's coarse
-                    # samples in one batched draw — no scan at all
-                    cstate, xcs = batch_draw(k_coarse, cstate,
-                                             self.chunk_size)
+                    # samples in one batched draw — no scan at all;
+                    # closed-form S(x) from the driving normals when
+                    # the sampler provides it
+                    bdwa = getattr(self.coarse_sampler,
+                                   "draw_batch_with_action", None)
+                    if bdwa is not None:
+                        cstate, xcs, s_cc_pre = bdwa(k_coarse, cstate,
+                                                     self.chunk_size)
+                    else:
+                        cstate, xcs = batch_draw(k_coarse, cstate,
+                                                 self.chunk_size)
+                        s_cc_pre = None
                     st_cs = stats_mod.record_many(st_cs,
                                                   self.qoi_coarse(xcs))
                     sum_t, n_indep = t_accum
@@ -234,7 +260,8 @@ class MonteCarloTwoLevel:
                     keys = jax.random.split(k_coarse, self.chunk_size)
                     (cstate, st_cs, t_accum), xcs = jax.lax.scan(
                         body_c, (cstate, st_cs, t_accum), keys)
-                tl, qf, qc, acc = screen(k_screen, tl, xcs)
+                    s_cc_pre = None
+                tl, qf, qc, acc = screen(k_screen, tl, xcs, s_cc_pre)
                 idx = jnp.arange(self.chunk_size)
                 st_f = stats_mod.record_block(st_f, qf, n_valid=n_active)
                 st_c = stats_mod.record_block(st_c, qc, n_valid=n_active)
@@ -301,7 +328,11 @@ class MonteCarloTwoLevel:
         params.setdefault("x0", 0.0)
         return params
 
-    def _make_fused_chunk(self, t_sub: int, n_chains: int):
+    def _make_fused_chunk(self, t_sub: int, n_chains: int,
+                          with_traces: bool = True):
+        """Jitted fused chunk.  ``with_traces`` keeps the per-trajectory
+        clock traces (burn-in / t_sub measurement); the sampling chunks
+        drop them — at large t_sub they dominate the kernel's VMEM."""
         from mlmcpathintegral_tpu.ops.pallas_qm_twolevel import (
             qm_twolevel_chain,
         )
@@ -322,14 +353,15 @@ class MonteCarloTwoLevel:
                 fine, xc, scache, dt, seed, m0=p["m0"], mu2=p["mu2"],
                 lam=p["lam"], x0=p["x0"], a_lat=p["a_lat"], nt=nt,
                 n_steps=chunk_size, t_sub=t_sub, block_chains=block,
-                interpret=interpret)
+                interpret=interpret, with_traces=with_traces)
             st_f = stats_mod.record_block(st_f, qf, n_valid=n_active)
             st_c = stats_mod.record_block(st_c, qc, n_valid=n_active)
             st_d = stats_mod.record_block(st_d, qf - qc, n_valid=n_active)
-            st_cs = stats_mod.record_many(st_cs, cs)
-            # intensive energy (per coarse site): the configuration slow
-            # mode feeding the t_sub clock (mc/twolevel.py slow-mode rule)
-            st_slow = stats_mod.record_many(st_slow, inv_Mc * ec)
+            if with_traces:
+                st_cs = stats_mod.record_many(st_cs, cs)
+                # intensive energy (per coarse site): the configuration
+                # slow mode feeding the t_sub clock (slow-mode rule)
+                st_slow = stats_mod.record_many(st_slow, inv_Mc * ec)
             idx = jnp.arange(chunk_size)
             n_acc = jnp.sum(jnp.where((idx < n_active)[:, None], acc, 0.0),
                             dtype=jnp.float32)
@@ -394,7 +426,7 @@ class MonteCarloTwoLevel:
         t_new = self._fused_t_sub()
         if t_new > t_sub:
             t_sub = t_new
-            chunk = self._make_fused_chunk(t_sub, n_chains)
+        chunk = self._make_fused_chunk(t_sub, n_chains, with_traces=False)
         self._t_sub = t_sub
         # hard-reset the Y statistics after burn-in
         # (montecarlotwolevel.cc:66-69)

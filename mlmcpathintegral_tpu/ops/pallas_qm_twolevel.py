@@ -95,7 +95,7 @@ def _qm_twolevel_kernel(seed_ref, dt_ref, fine_ref, coarse_ref, scache_ref,
                         fine_out, coarse_out, scache_out,
                         qf_ref, qc_ref, cs_ref, ec_ref, acc_ref, *,
                         m0, mu2, lam, x0, a, nt, n_steps, t_sub,
-                        block_chains):
+                        block_chains, with_traces):
     dtype = fine_ref.dtype
     Mc = coarse_ref.shape[0]
     M = 2 * Mc
@@ -134,12 +134,13 @@ def _qm_twolevel_kernel(seed_ref, dt_ref, fine_ref, coarse_ref, scache_ref,
             u = rng.uniform(dtype)[0:1]
             accept = jnp.logical_or(dH < 0.0, u < jnp.exp(-dH))
             xc = jnp.where(accept, xt, xc)
-            # clock traces: coarse QoI x^2 (the reference's subsample
-            # rule) and the coarse action energy (slow-mode cross-check)
-            cs_ref[pl.ds(s * t_sub + t, 1)] = \
-                inv_Mc * jnp.sum(xc * xc, axis=0, keepdims=True)
-            ec_ref[pl.ds(s * t_sub + t, 1)] = \
-                jnp.where(accept, S_new, S_cur)
+            if with_traces:
+                # clock traces: coarse QoI x^2 (the reference's subsample
+                # rule) and the coarse action energy (slow-mode check)
+                cs_ref[pl.ds(s * t_sub + t, 1)] = \
+                    inv_Mc * jnp.sum(xc * xc, axis=0, keepdims=True)
+                ec_ref[pl.ds(s * t_sub + t, 1)] = \
+                    jnp.where(accept, S_new, S_cur)
             return xc
 
         xc = jax.lax.fori_loop(0, t_sub, traj_body, xc)
@@ -177,6 +178,10 @@ def _qm_twolevel_kernel(seed_ref, dt_ref, fine_ref, coarse_ref, scache_ref,
 
     carry = (fine_ref[0], fine_ref[1], coarse_ref[:],
              scache_ref[pl.ds(0, 1)], scache_ref[pl.ds(1, 1)])
+    if not with_traces:
+        # dummy [1, C] trace outputs still need defined contents
+        cs_ref[:] = jnp.zeros_like(cs_ref)
+        ec_ref[:] = jnp.zeros_like(ec_ref)
     xe, xo, xc, S_f, S_q = jax.lax.fori_loop(0, n_steps, body, carry)
     fine_out[0] = xe
     fine_out[1] = xo
@@ -187,10 +192,11 @@ def _qm_twolevel_kernel(seed_ref, dt_ref, fine_ref, coarse_ref, scache_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "m0", "mu2", "lam", "x0", "a_lat", "nt", "n_steps", "t_sub",
-    "block_chains", "interpret"))
+    "block_chains", "interpret", "with_traces"))
 def qm_twolevel_chain(fine, x_coarse, s_cache, dt, seed, *,
                       m0, mu2, lam=0.0, x0=0.0, a_lat, nt, n_steps,
-                      t_sub, block_chains=512, interpret=False):
+                      t_sub, block_chains=512, interpret=False,
+                      with_traces=True):
     """Run n_steps of the fused QM two-level chain on all chains.
 
     fine:     [2, C, Mc] even/odd site planes of the current fine path
@@ -202,6 +208,10 @@ def qm_twolevel_chain(fine, x_coarse, s_cache, dt, seed, *,
     Returns (fine, x_coarse, s_cache, qf [n_steps, C], qc [n_steps, C],
     cs [n_steps*t_sub, C], ec [n_steps*t_sub, C], acc [n_steps, C])
     where cs/ec are the per-trajectory coarse QoI / energy clock traces.
+    With ``with_traces=False`` the clock traces are skipped (returned as
+    [1, C] dummies) — the sampling phase only needs them during the
+    burn-in/clock chunks, and at large t_sub they dominate the kernel's
+    VMEM footprint.
     """
     _, C, Mc = fine.shape
     if C % block_chains:
@@ -215,8 +225,10 @@ def qm_twolevel_chain(fine, x_coarse, s_cache, dt, seed, *,
     kernel = functools.partial(
         _qm_twolevel_kernel, m0=float(m0), mu2=float(mu2), lam=float(lam),
         x0=float(x0), a=float(a_lat), nt=int(nt), n_steps=int(n_steps),
-        t_sub=int(t_sub), block_chains=int(block_chains))
+        t_sub=int(t_sub), block_chains=int(block_chains),
+        with_traces=bool(with_traces))
     blk = block_chains
+    n_traj = n_steps * t_sub if with_traces else 1
     fine_spec = pl.BlockSpec((2, Mc, blk), lambda i: (0, 0, i),
                              memory_space=pltpu.VMEM)
     coarse_spec = pl.BlockSpec((Mc, blk), lambda i: (0, i),
@@ -225,7 +237,7 @@ def qm_twolevel_chain(fine, x_coarse, s_cache, dt, seed, *,
                                memory_space=pltpu.VMEM)
     step_spec = pl.BlockSpec((n_steps, blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
-    traj_spec = pl.BlockSpec((n_steps * t_sub, blk), lambda i: (0, i),
+    traj_spec = pl.BlockSpec((n_traj, blk), lambda i: (0, i),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
@@ -241,8 +253,8 @@ def qm_twolevel_chain(fine, x_coarse, s_cache, dt, seed, *,
             jax.ShapeDtypeStruct((2, C), fine.dtype),
             jax.ShapeDtypeStruct((n_steps, C), fine.dtype),
             jax.ShapeDtypeStruct((n_steps, C), fine.dtype),
-            jax.ShapeDtypeStruct((n_steps * t_sub, C), fine.dtype),
-            jax.ShapeDtypeStruct((n_steps * t_sub, C), fine.dtype),
+            jax.ShapeDtypeStruct((n_traj, C), fine.dtype),
+            jax.ShapeDtypeStruct((n_traj, C), fine.dtype),
             jax.ShapeDtypeStruct((n_steps, C), fine.dtype),
         ],
         interpret=interpret,

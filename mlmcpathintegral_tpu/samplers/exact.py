@@ -51,5 +51,20 @@ class ExactSampler(Sampler):
         xs = xs.reshape(n, C, N)
         return ExactState(x=xs[-1]), xs
 
+    def draw_batch_with_action(self, key, state: ExactState, n: int):
+        """Like :meth:`draw_batch` but also returns S(x) per draw, in
+        closed form from the driving normals when the action supports it
+        (GFFAction.exact_draw_with_action) — the screen then skips its
+        coarse-action evaluate over the whole proposal batch."""
+        C, N = state.x.shape
+        if hasattr(self.action, "exact_draw_with_action"):
+            xs, S = self.action.exact_draw_with_action(key, n * C,
+                                                       state.x.dtype)
+        else:
+            xs = self.action.exact_draw(key, n * C, state.x.dtype)
+            S = self.action.evaluate(xs)
+        xs = xs.reshape(n, C, N)
+        return ExactState(x=xs[-1]), xs, S.reshape(n, C)
+
     def prepare(self, key, n_chains, dtype=None):
         return self.init(key, n_chains, dtype)
