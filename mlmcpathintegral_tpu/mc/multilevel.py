@@ -354,7 +354,9 @@ class MonteCarloMultiLevel:
             # floor at FUSED_T_SUB_MIN (proposal-independence safety)
             t = min(self.t_max, max(self.FUSED_T_SUB_MIN,
                                     math.ceil(2.0 * tau)))
-            return 1 << (t - 1).bit_length()
+            # cap again after rounding: the power-of-two round-up could
+            # otherwise overshoot t_max (100 -> 128)
+            return min(1 << (t - 1).bit_length(), self.t_max)
 
         def ratchet(cur, new):
             # recompile only when the compiled rate is too SMALL (the

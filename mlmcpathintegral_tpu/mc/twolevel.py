@@ -158,19 +158,39 @@ def make_batched_screen(fine_action, coarse_action, cond, qoi_fine,
         ndof = tl.theta.shape[-1]
         s_slice = max(1, min(S, slice_budget_bytes
                              // max(C * ndof * 4, 1)))
+        while S % s_slice:
+            s_slice -= 1          # largest divisor within the budget
+        n_slices = S // s_slice
         s_cc0 = coarse_action.evaluate(fine_action.restrict(tl.theta))
         qf0 = qoi_fine(tl.theta)
-        qf_parts, acc_parts = [], []
-        for lo in range(0, S, s_slice):
-            sub = jax.random.fold_in(key, lo)
+        if n_slices == 1:
             tl, s_cc0, qf0, qf_c, acc = screen_slice(
-                sub, tl, s_cc0, qf0, xcs[lo:lo + s_slice],
-                None if s_cc_pre is None else s_cc_pre[lo:lo + s_slice])
-            qf_parts.append(qf_c)
-            acc_parts.append(acc)
+                key, tl, s_cc0, qf0, xcs, s_cc_pre)
+            qf_all, acc_all = qf_c, acc
+        else:
+            # scan over slices: ONE compiled slice body regardless of
+            # n_slices (the Python loop unrolled 16-64 slice copies into
+            # the trace at large lattices, blowing compile time — the
+            # 128^2 rows were stuck at chunk_size 64 because of it)
+            xs = xcs.reshape(n_slices, s_slice, C, xcs.shape[-1])
+            pre = (jnp.zeros((n_slices, 0)) if s_cc_pre is None
+                   else s_cc_pre.reshape(n_slices, s_slice, C))
+
+            def body(carry, inp):
+                tl, s_cc0, qf0 = carry
+                k, xc_s, pre_s = inp
+                tl, s_cc0, qf0, qf_c, acc = screen_slice(
+                    k, tl, s_cc0, qf0, xc_s,
+                    None if s_cc_pre is None else pre_s)
+                return (tl, s_cc0, qf0), (qf_c, acc)
+
+            keys = jax.random.split(key, n_slices)
+            (tl, s_cc0, qf0), (qf_all, acc_all) = jax.lax.scan(
+                body, (tl, s_cc0, qf0), (keys, xs, pre))
+            qf_all = qf_all.reshape(S, C)
+            acc_all = acc_all.reshape(S, C)
         qc = qoi_coarse(xcs)                          # [S, C]
-        return (tl, jnp.concatenate(qf_parts), qc,
-                jnp.concatenate(acc_parts))
+        return tl, qf_all, qc, acc_all
 
     return screen
 

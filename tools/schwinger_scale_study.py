@@ -134,6 +134,7 @@ def main():
                     help="CPU interpret-mode kernels (no chip)")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--n-chains", type=int, default=1024)
+    ap.add_argument("--chunk-size", type=int, default=256)
     ap.add_argument("--n-samples", type=int, default=1_000_000)
     ap.add_argument("--sizes", default="16,32,64")
     ap.add_argument("--epsilons", default="2e-2,1e-2,5e-3,2.5e-3")
@@ -163,6 +164,7 @@ def main():
                     r = run_mlmc(M, M, beta=beta, n_level=3,
                                  n_samples=args.n_samples,
                                  n_chains=args.n_chains,
+                                 chunk_size=args.chunk_size,
                                  interpret=args.interpret,
                                  coarse=args.coarse,
                                  use_pallas=not args.no_pallas)
