@@ -440,7 +440,8 @@ def bench_schwinger_mlmc(use_pallas: bool, n_samples: int = 100_000,
         # coarsesampler='cluster' analog, unbiased since round 4); runs
         # the unfused XLA path because fusing would override the sampler
         factory = lambda a: QuenchedSchwingerClusterSampler(
-            a, n_burnin=20, n_updates=5)
+            a, n_burnin=20, n_updates=5,
+            use_pallas=(_BACKEND == "tpu"), block_chains=n_chains)
     else:
         # heat-bath coarse chains run IN-KERNEL in the fused path — the
         # fastest unbiased configuration on the chip (the headline);

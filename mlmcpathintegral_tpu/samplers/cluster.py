@@ -223,6 +223,11 @@ class ClusterSampler(Sampler):
         return jnp.where(odd, act.flip(x, xbar[:, None]), x)
 
     def draw(self, key, state: ClusterState):
+        if self.use_pallas:
+            # one fused VMEM launch runs all n_updates cluster rounds
+            # (ops/pallas_rotor.rotor_cluster_chain with n_steps=1)
+            state, _ = self.draw_chain(key, state, 1)
+            return state, jnp.ones(state.x.shape[:-1], bool)
         x = state.x
         update = (self._vector_cluster_update if self.vectorised
                   else self._single_cluster_update)

@@ -58,7 +58,8 @@ class QuenchedSchwingerClusterSampler(Sampler):
     """
 
     def __init__(self, action, n_burnin: int = 100, n_updates: int = 10,
-                 n_mix_sweeps: int = 1):
+                 n_mix_sweeps: int = 1, use_pallas: bool = False,
+                 block_chains: int = 1024, pallas_interpret: bool = False):
         super().__init__(action)
         lat = action.lattice
         M = lat.Mt_lat * lat.Mx_lat
@@ -66,7 +67,10 @@ class QuenchedSchwingerClusterSampler(Sampler):
         self.rotor_action = RotorAction(lattice1d, RenormalisationType.NONE,
                                         m0=action.beta * lattice1d.a_lat)
         self.cluster = ClusterSampler(self.rotor_action, n_burnin=n_burnin,
-                                      n_updates=n_updates)
+                                      n_updates=n_updates,
+                                      use_pallas=use_pallas,
+                                      block_chains=block_chains,
+                                      pallas_interpret=pallas_interpret)
         self.n_mix_sweeps = int(n_mix_sweeps)
 
     def init(self, key, n_chains, dtype=None):
