@@ -121,15 +121,16 @@ def _schwinger_kernel_ops(k_rej=6, n_overrelax=1, n_heatbath=1):
     (ops/pallas_schwinger.py).  Counted from the code:
       staples: 6 add + 2 mod_2pi (4 ops each)           = 14
       overrelax: 2 add + 1 mod                          = 6
-      rng word: 2 x fmix32 (11 int-ops) + 2 mul/add     = 24
-      uniform: rng + 3;  normal: 2 uniforms + 3 transc
-      heat-bath round: 1 normal + 2 uniforms + 2 transc (cos, log)
-                       + ~12 arith                      = 136
+      rng word: 3 x fmix32 (11 int-ops) + 2 mul/add     = 35
+        (the round-5 stream-independence combiner adds the third
+        avalanche; the round draws 3 words, not 4 — u2 doubles as the
+        uniform-branch proposal and the Box-Muller angle)
+      heat-bath round: 3 uniforms + 3 transc (sqrt, cos, log)
+                       + ~14 arith
     """
-    rng = 24
+    rng = 35
     uniform = rng + 3
-    normal = 2 * uniform + 3 * TRANSC_COST
-    round_ops = normal + 2 * uniform + 2 * TRANSC_COST + 12
+    round_ops = 3 * uniform + 3 * TRANSC_COST + 14
     staple = 14
     over = staple + 6
     heat = staple + 8 + k_rej * round_ops   # tau/sigma/shift prep = 8
