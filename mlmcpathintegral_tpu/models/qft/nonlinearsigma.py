@@ -168,6 +168,122 @@ class NonlinearSigmaAction(Action):
             vec = self._heatbath_colour(k, vec, colour)
         return vec_to_angles(vec)
 
+    # -- grid fast path (unrotated lattices) -----------------------------------
+    #
+    # The gather/scatter form above indexes vec[..., nn, :] per colour; on
+    # TPU those lower to slow gathers and materialise a [C, N, 4, 3]
+    # intermediate.  On the *unrotated* members of the rotate hierarchy the
+    # vertex order is lin = Mt*j + i, so the state reshapes to a
+    # [C, Mx, Mt, 3] grid whose 4-point stencil is four jnp.rolls and whose
+    # colour update is a checkerboard jnp.where — no gathers, and the whole
+    # overrelax+heat-bath block runs in vector form with a single
+    # angles<->vec conversion at entry/exit (the per-sweep atan2/sin/cos
+    # round trip is pure overhead; cf. the reference's per-site update,
+    # nonlinearsigmaaction.cc:24-94, which has no such conversion either).
+
+    @cached_property
+    def _grid_red_mask(self):
+        # numpy (not jnp): a cached device array created inside a trace
+        # would leak a tracer; as a numpy constant it is embedded per jit.
+        Mt, Mx = self.lattice.Mt_lat, self.lattice.Mx_lat
+        i = np.arange(Mt)[None, :]
+        j = np.arange(Mx)[:, None]
+        return ((i + j) % 2 == 0)[..., None]   # [Mx, Mt, 1] bool
+
+    @staticmethod
+    def _grid_delta_soa(gx, gy, gz):
+        """4-nearest-neighbour spin sum, one [Mx, Mt, C] plane per
+        component (i = axis 1, j = axis 0)."""
+        def nn(g):
+            return (jnp.roll(g, 1, axis=0) + jnp.roll(g, -1, axis=0)
+                    + jnp.roll(g, 1, axis=1) + jnp.roll(g, -1, axis=1))
+        return nn(gx), nn(gy), nn(gz)
+
+    def _grid_unit_delta(self, gx, gy, gz):
+        dx, dy, dz = self._grid_delta_soa(gx, gy, gz)
+        nrm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        r = 1.0 / jnp.maximum(nrm, 1e-30)
+        return dx * r, dy * r, dz * r, nrm
+
+    def _grid_heatbath_colour(self, key, g, mask):
+        gx, gy, gz = g
+        hx, hy, hz, nrm = self._grid_unit_delta(gx, gy, gz)
+        k1, k2 = jax.random.split(key)
+        sig_par = CompactExpDistribution.draw(k1, self.beta * nrm)
+        sig_perp = jnp.sqrt(jnp.maximum(1.0 - sig_par * sig_par, 0.0))
+        # 'best perpendicular' (same selection rule as _perp): zero the
+        # absolutely-smallest component of delta_hat, rotate the other two
+        a0, a1, a2 = jnp.abs(hx), jnp.abs(hy), jnp.abs(hz)
+        m0 = (a0 <= a1) & (a0 <= a2)
+        m1 = (~m0) & (a1 <= a2)
+        amin = jnp.where(m0, a0, jnp.where(m1, a1, a2))
+        rho_inv = 1.0 / jnp.sqrt(jnp.maximum(1.0 - amin * amin, 1e-30))
+        zero = jnp.zeros_like(hx)
+        px = jnp.where(m0, zero, jnp.where(m1, -hz, hy)) * rho_inv
+        py = jnp.where(m0, -hz, jnp.where(m1, zero, -hx)) * rho_inv
+        pz = jnp.where(m0, hy, jnp.where(m1, hx, zero)) * rho_inv
+        nx = sig_par * hx + sig_perp * px
+        ny = sig_par * hy + sig_perp * py
+        nz = sig_par * hz + sig_perp * pz
+        # Rodrigues rotation of (nx,ny,nz) about (hx,hy,hz) by the azimuth
+        az = jax.random.uniform(k2, nrm.shape, gx.dtype, -math.pi, math.pi)
+        c, s = jnp.cos(az), jnp.sin(az)
+        dot = hx * nx + hy * ny + hz * nz
+        cx = hy * nz - hz * ny
+        cy = hz * nx - hx * nz
+        cz = hx * ny - hy * nx
+        d1c = dot * (1.0 - c)
+        nx = nx * c + cx * s + hx * d1c
+        ny = ny * c + cy * s + hy * d1c
+        nz = nz * c + cz * s + hz * d1c
+        return (jnp.where(mask, nx, gx), jnp.where(mask, ny, gy),
+                jnp.where(mask, nz, gz))
+
+    def _grid_overrelax_colour(self, g, mask):
+        gx, gy, gz = g
+        hx, hy, hz, _ = self._grid_unit_delta(gx, gy, gz)
+        dot2 = 2.0 * (gx * hx + gy * hy + gz * hz)
+        return (jnp.where(mask, dot2 * hx - gx, gx),
+                jnp.where(mask, dot2 * hy - gy, gy),
+                jnp.where(mask, dot2 * hz - gz, gz))
+
+    def combined_sweeps(self, key, state, n_overrelax, n_heatbath):
+        """All overrelaxation then heat-bath sweeps of one draw in a single
+        vector-form pass; exact same conditional updates as the sweep
+        methods above (rolls reproduce _nn on unrotated lattices), only the
+        RNG stream layout differs.  Rotated lattices (and unbatched states)
+        fall back to the gather form.
+
+        TPU-first layout: chains ride the 128-lane axis ([Mx, Mt, C]
+        planes, one per spin component) — the natural [..., N, 3] layout
+        pads its trailing 3 to a full lane tile and ran ~2x *slower* than
+        the gather form on chip; structure-of-arrays with every op
+        elementwise over [Mx, Mt, C] is what the VPU actually wants."""
+        if self.lattice.rotated or state.ndim != 2:
+            for _ in range(n_overrelax):
+                state = self.overrelaxation_sweep(state)
+            for _ in range(n_heatbath):
+                key, sub = jax.random.split(key)
+                state = self.heatbath_sweep(sub, state)
+            return state
+        Mt, Mx = self.lattice.Mt_lat, self.lattice.Mx_lat
+        C = state.shape[0]
+        vec = angles_to_vec(state)                      # [C, N, 3]
+        g4 = jnp.moveaxis(vec.reshape(C, Mx, Mt, 3), 0, -1)   # [Mx,Mt,3,C]
+        g = (g4[..., 0, :], g4[..., 1, :], g4[..., 2, :])
+        red = self._grid_red_mask
+        black = ~red
+        for _ in range(n_overrelax):
+            g = self._grid_overrelax_colour(g, red)
+            g = self._grid_overrelax_colour(g, black)
+        for _ in range(n_heatbath):
+            key, k1, k2 = jax.random.split(key, 3)
+            g = self._grid_heatbath_colour(k1, g, red)
+            g = self._grid_heatbath_colour(k2, g, black)
+        g4 = jnp.stack(g, axis=-2)                      # [Mx, Mt, 3, C]
+        vec = jnp.moveaxis(g4, -1, 0).reshape(C, Mx * Mt, 3)
+        return vec_to_angles(vec)
+
     def overrelaxation_sweep(self, state):
         """Reflect each spin about the neighbour-sum direction
         (nonlinearsigmaaction.cc:76-94)."""

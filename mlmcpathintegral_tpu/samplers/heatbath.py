@@ -138,11 +138,16 @@ class OverrelaxedHeatBathSampler(Sampler):
             accept = jnp.ones(x.shape[:-1], bool)
             return HeatBathState(x=x), accept
         if self._action_sweeps:
-            for _ in range(self.n_sweep_overrelax):
-                x = self.action.overrelaxation_sweep(x)
-            for _ in range(self.n_sweep_heatbath):
-                key, sub = jax.random.split(key)
-                x = self.action.heatbath_sweep(sub, x)
+            combined = getattr(self.action, "combined_sweeps", None)
+            if combined is not None:
+                x = combined(key, x, self.n_sweep_overrelax,
+                             self.n_sweep_heatbath)
+            else:
+                for _ in range(self.n_sweep_overrelax):
+                    x = self.action.overrelaxation_sweep(x)
+                for _ in range(self.n_sweep_heatbath):
+                    key, sub = jax.random.split(key)
+                    x = self.action.heatbath_sweep(sub, x)
         else:
             for _ in range(self.n_sweep_overrelax):
                 x = self._half_sweep_overrelax(x, 0)

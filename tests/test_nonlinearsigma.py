@@ -111,6 +111,57 @@ def test_overrelaxation_preserves_action():
         atol=1e-12)
 
 
+def test_combined_sweeps_overrelax_matches_gather_form():
+    """The grid fast path's overrelaxation (rolls + checkerboard where)
+    is deterministic, so it must reproduce the gather-form sweep exactly
+    (same colour order, same reflections)."""
+    state = ACT.initialise_state(jax.random.PRNGKey(7), 4, jnp.float64)
+    ref = ACT.overrelaxation_sweep(ACT.overrelaxation_sweep(state))
+    fast = ACT.combined_sweeps(jax.random.PRNGKey(0), state,
+                               n_overrelax=2, n_heatbath=0)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=1e-12)
+
+
+def test_combined_sweeps_heatbath_statistics():
+    """Heat-bath via the grid fast path uses a different RNG layout, so
+    the check is statistical: chi_m from the two paths must agree."""
+    qoi = qoi_magnetic_susceptibility(ACT)
+    C, n_burn, n_keep = 96, 150, 250
+
+    def estimate(use_fast, seed):
+        def sweep(key, st):
+            if use_fast:
+                return ACT.combined_sweeps(key, st, 1, 2)
+            st = ACT.overrelaxation_sweep(st)
+            for k in jax.random.split(key):
+                st = ACT.heatbath_sweep(k, st)
+            return st
+
+        st0 = ACT.initialise_state(jax.random.PRNGKey(seed), C, jnp.float64)
+        stats = Statistics("m", 40)
+        s0 = stats.init(C, jnp.float64)
+
+        @jax.jit
+        def run(key, st, s):
+            def body(carry, k):
+                st, s = carry
+                st = sweep(k, st)
+                return (st, stats_mod.record(s, qoi(st))), None
+            kb, kk = jax.random.split(key)
+            st, _ = jax.lax.scan(lambda c, k: (sweep(k, c), None), st,
+                                 jax.random.split(kb, n_burn))
+            (st, s), _ = jax.lax.scan(body, (st, s),
+                                      jax.random.split(kk, n_keep))
+            return s
+        s = run(jax.random.PRNGKey(seed + 50), st0, s0)
+        return stats.average(s), stats.error(s)
+
+    a1, e1 = estimate(False, 11)
+    a2, e2 = estimate(True, 12)
+    assert abs(a1 - a2) < 4 * math.sqrt(e1 * e1 + e2 * e2), (a1, a2, e1, e2)
+
+
 def test_cluster_hooks_geometry():
     r = NonlinearSigmaAction.new_reflection(jax.random.PRNGKey(4), 6,
                                             jnp.float64)
