@@ -268,9 +268,17 @@ class NonlinearSigmaAction(Action):
             return state
         Mt, Mx = self.lattice.Mt_lat, self.lattice.Mx_lat
         C = state.shape[0]
-        vec = angles_to_vec(state)                      # [C, N, 3]
-        g4 = jnp.moveaxis(vec.reshape(C, Mx, Mt, 3), 0, -1)   # [Mx,Mt,3,C]
-        g = (g4[..., 0, :], g4[..., 1, :], g4[..., 2, :])
+        # angles -> SoA planes without the padded [C, N, 3] intermediate
+        # (same formulas as angles_to_vec / vec_to_angles)
+        ang = state.reshape(C, -1, 2)
+        theta, phi = ang[..., 0], ang[..., 1]           # [C, N]
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+
+        def to_grid(p):                                 # [C, N] -> [Mx,Mt,C]
+            return jnp.moveaxis(p.reshape(C, Mx, Mt), 0, -1)
+
+        g = (to_grid(st * jnp.cos(phi)), to_grid(st * jnp.sin(phi)),
+             to_grid(ct))
         red = self._grid_red_mask
         black = ~red
         for _ in range(n_overrelax):
@@ -280,9 +288,15 @@ class NonlinearSigmaAction(Action):
             key, k1, k2 = jax.random.split(key, 3)
             g = self._grid_heatbath_colour(k1, g, red)
             g = self._grid_heatbath_colour(k2, g, black)
-        g4 = jnp.stack(g, axis=-2)                      # [Mx, Mt, 3, C]
-        vec = jnp.moveaxis(g4, -1, 0).reshape(C, Mx * Mt, 3)
-        return vec_to_angles(vec)
+        gx, gy, gz = g
+        phi = jnp.arctan2(gy, gx)                       # [Mx, Mt, C]
+        theta = jnp.arctan2(jnp.sqrt(gx * gx + gy * gy), gz)
+
+        def to_flat(p):                                 # [Mx,Mt,C] -> [C, N]
+            return jnp.moveaxis(p, -1, 0).reshape(C, -1)
+
+        out = jnp.stack([to_flat(theta), to_flat(phi)], axis=-1)
+        return out.reshape(C, -1)
 
     def overrelaxation_sweep(self, state):
         """Reflect each spin about the neighbour-sum direction
@@ -356,9 +370,18 @@ class NonlinearSigmaAction(Action):
 
 
 def qoi_magnetic_susceptibility(action):
-    """|sum_n sigma_n|^2 / N (qoi2dmagneticsusceptibility.cc:6-21)."""
+    """|sum_n sigma_n|^2 / N (qoi2dmagneticsusceptibility.cc:6-21).
+
+    Computed from the angle planes directly (sums of st*cp, st*sp, ct over
+    the vertex/lane axis) — the [..., N, 3] vector intermediate pads its
+    trailing 3 to a lane tile on TPU and dominated the recording cost once
+    the sweeps moved to the SoA fast path."""
     def evaluate(state):
-        vec = angles_to_vec(state)
-        mu = jnp.sum(vec, axis=-2)
-        return jnp.sum(mu * mu, axis=-1) / (action.lattice.nvertices)
+        ang = state.reshape(*state.shape[:-1], -1, 2)
+        theta, phi = ang[..., 0], ang[..., 1]         # [..., N]
+        st = jnp.sin(theta)
+        mx = jnp.sum(st * jnp.cos(phi), axis=-1)
+        my = jnp.sum(st * jnp.sin(phi), axis=-1)
+        mz = jnp.sum(jnp.cos(theta), axis=-1)
+        return (mx * mx + my * my + mz * mz) / action.lattice.nvertices
     return evaluate
